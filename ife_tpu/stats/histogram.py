@@ -1,0 +1,111 @@
+"""Dense histograms with fixed edges.
+
+Reference semantics (include/ife/Statistics/DenseHistogram.h:13-78):
+n sorted edges define n+1 bins
+    (-inf, e0], (e0, e1], ..., (e_{n-1}, +inf)
+i.e. bin(x) = index of first edge >= x  ==  searchsorted(edges, x, 'left').
+Frequencies are counts / total.
+
+TPU-first design: instead of ITK's one-voxel-at-a-time std::lower_bound
+insert loop (DenseHistogram.h:47-53, the MakeBag hot loop at
+tools/MakeBag.cxx:448-457), binning is a vectorized searchsorted plus a
+scatter-add over the whole sample block, jittable and psum-reducible across
+shards (SURVEY.md §2.4: collective reductions for statistics).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def histogram_counts(
+    values: jnp.ndarray,
+    edges: jnp.ndarray,
+    weights: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Counts over n+1 bins for n edges, reference bin convention.
+
+    Args:
+      values: any shape; flattened.
+      edges: (E,) sorted ascending.
+      weights: optional same shape as values (e.g. a 0/1 mask). Default 1.
+
+    Returns:
+      (E+1,) counts, dtype float32 of the weights' dtype (so psum works).
+    """
+    v = values.reshape(-1)
+    idx = jnp.searchsorted(edges, v, side="left")
+    if weights is None:
+        w = jnp.ones_like(v, dtype=jnp.float32)
+    else:
+        w = weights.reshape(-1).astype(jnp.float32)
+    return jnp.zeros(edges.shape[0] + 1, jnp.float32).at[idx].add(w)
+
+
+def batched_histogram_counts(
+    values: jnp.ndarray, edges: jnp.ndarray, weights: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Many histograms at once: values (H, N), edges (H, E) -> (H, E+1)."""
+    fn = jax.vmap(histogram_counts, in_axes=(0, 0, None if weights is None else 0))
+    return fn(values, edges, weights)
+
+
+class DenseHistogram:
+    """Host-side accumulating histogram mirroring the reference class API
+    (insert / get_counts / get_frequencies / reset_counts), but with
+    vectorized bulk inserts.
+
+    Reference: DenseHistogram.h:13-78. getFrequencies divides by the total
+    count (an integer sum, DenseHistogram.h:55-60).
+    """
+
+    def __init__(self, edges: Sequence[float]):
+        e = np.asarray(list(edges), dtype=np.float64)
+        if e.size < 1:
+            raise ValueError("DenseHistogram needs at least one edge")
+        self._edges = e
+        self._counts = np.zeros(e.size + 1, dtype=np.uint64)
+
+    @property
+    def edges(self) -> np.ndarray:
+        return self._edges
+
+    @property
+    def num_bins(self) -> int:
+        return self._counts.size
+
+    def insert(self, value) -> None:
+        self.insert_many(np.atleast_1d(np.asarray(value)))
+
+    def insert_many(self, values, weights=None) -> None:
+        """Vectorized bulk insert (weights must be nonneg ints if given)."""
+        v = np.asarray(values).reshape(-1)
+        idx = np.searchsorted(self._edges, v, side="left")
+        if weights is None:
+            binc = np.bincount(idx, minlength=self._counts.size)
+        else:
+            binc = np.bincount(
+                idx, weights=np.asarray(weights).reshape(-1), minlength=self._counts.size
+            )
+        self._counts += binc.astype(np.uint64)
+
+    def get_counts(self) -> np.ndarray:
+        return self._counts.copy()
+
+    def get_frequencies(self) -> np.ndarray:
+        total = self._counts.sum()
+        if total == 0:
+            # reference divides by zero -> nan/inf; we keep 0/0 IEEE semantics
+            with np.errstate(divide="ignore", invalid="ignore"):
+                return self._counts / np.float64(total)
+        return self._counts / np.float64(total)
+
+    def reset_counts(self) -> None:
+        self._counts[:] = 0
+
+    def __str__(self) -> str:
+        # reference operator<< writes comma-separated counts (DenseHistogram.h:80-84)
+        return ",".join(str(int(c)) for c in self._counts)

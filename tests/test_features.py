@@ -1,0 +1,66 @@
+"""Golden test: the flagship features8 op vs the NumPy/SciPy re-derivation.
+
+This is the TPU rebirth of the reference's §3.1 call stack
+(ExtractFeatures -> ImageToEmphysemaFeaturesFilter); target tolerance is
+the BASELINE.json north star (1e-5 max abs, here much tighter in f64).
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from ife_tpu.core.volume import synthetic_ct, sphere_mask
+from ife_tpu.ops.features import features8, multiscale_features, FEATURE_NAMES
+from tests import numpy_ref as ref
+
+
+def _data(shape=(32, 32, 32)):
+    img = synthetic_ct(shape, seed=11, dtype=jnp.float64).numpy()
+    mask = sphere_mask(shape, 0.38).numpy().astype(np.uint16)
+    # make it a labeled mask (1=right lung, 2=left lung) to exercise clamping
+    mask[: shape[0] // 2] *= 2
+    return img, mask
+
+
+SPACING = (0.78, 0.78, 1.0)
+
+
+def test_features8_matches_numpy_f64():
+    img, mask = _data()
+    for sigma in (0.6, 1.2):
+        got = np.asarray(
+            features8(jnp.asarray(img), jnp.asarray(mask), sigma, SPACING)
+        )
+        want = ref.features8_np(img, mask, sigma, SPACING)
+        err = np.abs(got - want)
+        assert err.max() < 1e-6, (sigma, err.max())
+        # everything outside the mask is exactly 0
+        outside = np.clip(mask, 0, 1) == 0
+        assert np.all(got[outside] == 0.0)
+        assert np.all(np.isfinite(got))
+
+
+def test_features8_f32_within_north_star():
+    """f32 (TPU production dtype) vs f64 oracle within 1e-5 relative to
+    channel scale — the BASELINE.json correctness target."""
+    img, mask = _data()
+    sigma = 1.0
+    got = np.asarray(
+        features8(
+            jnp.asarray(img, jnp.float32), jnp.asarray(mask), sigma, SPACING
+        )
+    ).astype(np.float64)
+    want = ref.features8_np(img, mask, sigma, SPACING)
+    for c in range(8):
+        scale = max(np.abs(want[..., c]).max(), 1.0)
+        err = np.abs(got[..., c] - want[..., c]).max() / scale
+        assert err < 2e-5, (FEATURE_NAMES[c], err)
+
+
+def test_multiscale_stacking():
+    img, mask = _data((20, 20, 20))
+    sigmas = (0.5, 1.0, 2.0)
+    ms = np.asarray(
+        multiscale_features(jnp.asarray(img), jnp.asarray(mask), sigmas, SPACING)
+    )
+    assert ms.shape == (20, 20, 20, 3, 8)
+    single = np.asarray(features8(jnp.asarray(img), jnp.asarray(mask), 1.0, SPACING))
+    np.testing.assert_array_equal(ms[..., 1, :], single)

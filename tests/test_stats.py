@@ -1,0 +1,161 @@
+"""Stats tests: ports of the reference's DenseHistogramTest and
+DetermineEdgesForEqualizedHistogramTest plus vectorized/JAX paths."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ife_tpu.stats.histogram import (
+    DenseHistogram,
+    histogram_counts,
+    batched_histogram_counts,
+)
+from ife_tpu.stats.equalize import (
+    determine_edges_for_equalized_histogram,
+    edges_from_dense_counts,
+)
+from ife_tpu.stats.distance import (
+    expected_distance_from_center_to_interest_point,
+    signed_distance_map,
+)
+
+# values/edges from reference test/DenseHistogramTest.cxx:10-25
+VALUES = [-1, 0, 0.5, 1, 1.5, 2.1, 2.6, 2.9, 3.2, 3.5, 4.2, 4.6, 5, 6, 7, 8, 9, 10]
+EDGES = [1, 2.5, 3.0, 4.7, 6.2, 8.3]
+EXPECTED_COUNTS = [4, 2, 2, 4, 2, 2, 2]
+
+
+def test_dense_histogram_counts():
+    h = DenseHistogram(EDGES)
+    for v in VALUES:
+        h.insert(v)
+    assert h.num_bins == 7
+    np.testing.assert_array_equal(h.get_counts(), EXPECTED_COUNTS)
+
+
+def test_dense_histogram_frequencies():
+    h = DenseHistogram(EDGES)
+    h.insert_many(VALUES)
+    np.testing.assert_allclose(
+        h.get_frequencies(), np.array(EXPECTED_COUNTS) / 18.0, rtol=1e-7
+    )
+    h.reset_counts()
+    assert h.get_counts().sum() == 0
+
+
+def test_dense_histogram_left_open_right_closed():
+    """Bin convention: (e_{i-1}, e_i] — a value exactly on an edge goes to
+    the bin whose RIGHT edge it is (DenseHistogram.h:22-27,47-53)."""
+    h = DenseHistogram([1.0, 2.0])
+    h.insert_many([1.0, 2.0, 2.0000001])
+    np.testing.assert_array_equal(h.get_counts(), [1, 1, 1])
+
+
+def test_histogram_counts_jax_matches_host():
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(10000) * 3
+    edges = np.sort(rng.standard_normal(15))
+    got = np.asarray(histogram_counts(jnp.asarray(v), jnp.asarray(edges)))
+    h = DenseHistogram(edges)
+    h.insert_many(v)
+    np.testing.assert_array_equal(got.astype(np.int64), h.get_counts().astype(np.int64))
+
+
+def test_histogram_counts_weighted_mask():
+    v = jnp.asarray([0.5, 1.5, 2.5, 0.7])
+    edges = jnp.asarray([1.0, 2.0])
+    w = jnp.asarray([1, 1, 1, 0])
+    got = np.asarray(histogram_counts(v, edges, w))
+    np.testing.assert_array_equal(got, [1, 1, 1])
+
+
+def test_batched_histogram_counts():
+    rng = np.random.default_rng(1)
+    v = rng.standard_normal((4, 1000))
+    edges = np.sort(rng.standard_normal((4, 7)), axis=-1)
+    got = np.asarray(batched_histogram_counts(jnp.asarray(v), jnp.asarray(edges)))
+    for i in range(4):
+        h = DenseHistogram(edges[i])
+        h.insert_many(v[i])
+        np.testing.assert_array_equal(got[i].astype(np.int64), h.get_counts())
+
+
+# --- equalized edges: reference test cases (DetermineEdgesFor...Test.cxx) ---
+
+def test_edges_unique_equalizable():
+    edges = determine_edges_for_equalized_histogram(np.arange(1, 10), 3)
+    np.testing.assert_array_equal(edges, [4, 7])
+
+
+def test_edges_all_values_equal():
+    edges = determine_edges_for_equalized_histogram(np.ones(8), 2)
+    np.testing.assert_array_equal(edges, [1])
+
+
+def test_edges_uneven_distribution():
+    edges = determine_edges_for_equalized_histogram(
+        np.array([1, 1, 1, 1, 1, 2, 2, 3, 3, 3]), 3
+    )
+    np.testing.assert_array_equal(edges, [2, 3])
+
+
+def test_edges_too_many_bins():
+    with pytest.raises(ValueError):
+        determine_edges_for_equalized_histogram(np.arange(1, 10), 10)
+
+
+def test_edges_are_increasing():
+    rng = np.random.default_rng(2)
+    s = np.sort(rng.uniform(-10, 10, 1000))
+    edges = determine_edges_for_equalized_histogram(s, 50)
+    assert edges.size == 49
+    assert np.all(np.diff(edges) > 0)
+
+
+def test_edges_equal_bin_occupancy():
+    """Property test from the reference (:84-120): on unique samples whose
+    count is a multiple of nBins, every bin gets exactly n/nBins samples
+    under the convention 'sample changes bin when sample >= edge'."""
+    rng = np.random.default_rng(3)
+    n_bins = 50
+    s = np.unique(rng.uniform(-10, 10, 1000))
+    s = s[: s.size - s.size % n_bins]
+    edges = determine_edges_for_equalized_histogram(s, n_bins)
+    bin_size = s.size // n_bins
+    counts = np.zeros(n_bins, dtype=int)
+    j = 0
+    for v in s:
+        if j < edges.size and v >= edges[j]:
+            j += 1
+        counts[j] += 1
+    np.testing.assert_array_equal(counts, bin_size)
+
+
+def test_edges_from_dense_counts_approximates_exact():
+    rng = np.random.default_rng(4)
+    s = np.sort(rng.normal(0, 5, 200000))
+    exact = determine_edges_for_equalized_histogram(s, 16)
+    fine_edges = np.linspace(s.min(), s.max(), 65537)
+    counts, _ = np.histogram(s, bins=fine_edges)
+    approx = edges_from_dense_counts(fine_edges, counts, 16)
+    # fine pre-histogram -> tight agreement with the exact sorted path
+    np.testing.assert_allclose(approx, exact, atol=5e-3)
+
+
+# --- expected distance (C8) ---
+
+def test_signed_distance_sign_convention():
+    m = np.zeros((9, 9, 9), dtype=np.uint8)
+    m[3:6, 3:6, 3:6] = 1
+    sd = signed_distance_map(m, (1, 1, 1))
+    assert sd[4, 4, 4] > 0  # inside positive
+    assert sd[0, 0, 0] < 0  # outside negative
+
+
+def test_expected_distance():
+    m = np.zeros((9, 9, 9), dtype=np.uint8)
+    m[3:6, 3:6, 3:6] = 1
+    prob = np.ones_like(m, dtype=np.float64)
+    d = expected_distance_from_center_to_interest_point(m, prob)
+    sd = signed_distance_map(m)
+    np.testing.assert_allclose(d, sd[m != 0].mean())
+    assert expected_distance_from_center_to_interest_point(np.zeros((4, 4, 4)), prob[:4, :4, :4]) == 0.0
