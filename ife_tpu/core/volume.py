@@ -89,11 +89,13 @@ def synthetic_ct(shape=(64, 64, 64), seed=0, dtype=jnp.float32) -> Volume:
     Band-limited random field scaled to CT-ish intensities [-1000, 0].
     """
     rng = np.random.default_rng(seed)
-    small = rng.standard_normal([max(2, s // 8) for s in shape])
-    # upsample by trilinear-ish repetition + smooth with separable box filters
+    small_shape = [max(2, s // 8) for s in shape]
+    small = rng.standard_normal(small_shape)
+    # upsample by repetition (factor rounded up so every axis covers `shape`)
     arr = small
     for axis in range(3):
-        arr = np.repeat(arr, 8, axis=axis)[
+        factor = -(-shape[axis] // small_shape[axis])
+        arr = np.repeat(arr, factor, axis=axis)[
             tuple(slice(0, shape[a]) if a == axis else slice(None) for a in range(3))
         ]
     arr = arr[: shape[0], : shape[1], : shape[2]]

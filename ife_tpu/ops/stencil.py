@@ -161,8 +161,11 @@ def gaussian_smooth_axis(
     W = jnp.asarray(_band_matrix(n, sigma_vox, radius), dtype=x.dtype)
     # contract the convolved axis against W: out[o] = sum_i W[o,i] x[i]
     x_moved = jnp.moveaxis(x, axis, -1)
+    # HIGHEST: on TPU the MXU would otherwise run this f32 contraction in
+    # one bf16 pass (~3 decimal digits) — far outside the 1e-5 parity target.
     y = jnp.einsum("oi,...i->...o", W, x_moved,
-                   preferred_element_type=x.dtype)
+                   preferred_element_type=x.dtype,
+                   precision=jax.lax.Precision.HIGHEST)
     return jnp.moveaxis(y, -1, axis)
 
 

@@ -1,0 +1,18 @@
+"""Multi-device domain decomposition for dense 3D feature extraction.
+
+The reference is strictly single-node (SURVEY.md §2.4) — every component
+here is new TPU-native design: the voxel grid is block-sharded over a
+`jax.sharding.Mesh`, stencils get their neighbor slabs via `ppermute` halo
+exchange over ICI, and statistics reduce with `psum`.
+"""
+from ife_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    shard_volume,
+    volume_pspec,
+)
+from ife_tpu.parallel.halo import halo_exchange, halo_pad  # noqa: F401
+from ife_tpu.parallel.features import (  # noqa: F401
+    sharded_features8,
+    sharded_hessian_eig,
+    sharded_multiscale_features,
+)

@@ -1,0 +1,151 @@
+"""Bag-of-features assembly — MakeBag / MakeBagDense / MakeBagOnlyIntensity
+semantics.
+
+Reference (tools/MakeBag.cxx:405-486): per scale, run the 8-channel feature
+pass; per ROI, iterate masked voxels inserting each channel into histogram
+histIdx = scale*8 + feature; write frequencies into bag row j at column
+offset histIdx * histSize; reset counts after every ROI row fill (the
+reference's accumulate/reset discipline, SURVEY.md §7 quirks).
+
+TPU-first: the feature volumes are computed on device (one fused pass per
+scale); binning is vectorized searchsorted/bincount over each ROI's masked
+voxels instead of a per-voxel std::lower_bound loop.
+"""
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from ife_tpu.ops.features import features8, NUM_FEATURES
+from ife_tpu.roi.generate import ROI
+
+
+def _check_hist_spec(hist_edges: Sequence[np.ndarray], n_expected: int) -> int:
+    if len(hist_edges) != n_expected:
+        raise ValueError(
+            f"Number of histograms must match number of features times number "
+            f"of scales: got {len(hist_edges)}, expected {n_expected}"
+        )
+    sizes = {len(e) + 1 for e in hist_edges}
+    if len(sizes) != 1:
+        raise ValueError("Histograms must have the same bin count")
+    return sizes.pop()
+
+
+def _roi_frequencies(values: np.ndarray, edges: np.ndarray) -> np.ndarray:
+    """Frequencies over len(edges)+1 bins, reference bin convention.
+    Empty input -> nan row (reference divides counts by a zero total)."""
+    idx = np.searchsorted(edges, values, side="left")
+    counts = np.bincount(idx, minlength=edges.size + 1).astype(np.float64)
+    total = counts.sum()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return counts / total
+
+
+def make_bag(
+    image: np.ndarray,
+    mask: np.ndarray,
+    sigmas: Sequence[float],
+    hist_edges: Sequence[np.ndarray],
+    rois: Sequence[ROI],
+    spacing: Sequence[float] = (1.0, 1.0, 1.0),
+    dtype=jnp.float32,
+) -> np.ndarray:
+    """Bag matrix (n_rois, histSize * 8 * n_scales).
+
+    hist_edges is ordered scale-major: index i*8+k is scale i, feature k
+    (reference MakeBag.cxx:453).
+    """
+    hist_size = _check_hist_spec(hist_edges, NUM_FEATURES * len(sigmas))
+    mask_np = np.clip(np.asarray(mask), 0, 1)
+    bag = np.zeros((len(rois), hist_size * len(hist_edges)), dtype=np.float64)
+
+    img_dev = jnp.asarray(image, dtype)
+    mask_dev = jnp.asarray(mask_np)
+
+    roi_masks = [mask_np[r.slices()] != 0 for r in rois]
+
+    for i, sigma in enumerate(sigmas):
+        feats = np.asarray(
+            features8(img_dev, mask_dev, float(sigma), tuple(spacing))
+        )
+        for j, r in enumerate(rois):
+            crop = feats[r.slices()]
+            inside = roi_masks[j]
+            vox = crop[inside]  # (n_inside, 8)
+            for k in range(NUM_FEATURES):
+                hist_idx = i * NUM_FEATURES + k
+                freqs = _roi_frequencies(vox[:, k], np.asarray(hist_edges[hist_idx]))
+                col = hist_idx * hist_size
+                bag[j, col : col + hist_size] = freqs
+    return bag
+
+
+def make_bag_intensity(
+    image: np.ndarray,
+    mask: np.ndarray,
+    hist_edges: np.ndarray,
+    rois: Sequence[ROI],
+) -> np.ndarray:
+    """MakeBagOnlyIntensity semantics (tools/MakeBagOnlyIntensity.cxx:326-382):
+    one histogram over RAW intensity, no features, no scales."""
+    edges = np.asarray(hist_edges)
+    mask_np = np.clip(np.asarray(mask), 0, 1)
+    img = np.asarray(image)
+    bag = np.zeros((len(rois), edges.size + 1), dtype=np.float64)
+    for j, r in enumerate(rois):
+        crop = img[r.slices()]
+        inside = mask_np[r.slices()] != 0
+        bag[j] = _roi_frequencies(crop[inside], edges)
+    return bag
+
+
+def sample_rois(image: np.ndarray, rois: Sequence[ROI]) -> np.ndarray:
+    """SampleROIs semantics (tools/SampleROIs.cxx:104-170): one row per ROI
+    of raw voxel values in ITK scan order (x fastest). ROIs must share size."""
+    sizes = {r.size for r in rois}
+    if len(sizes) > 1:
+        raise ValueError("All ROIs must have the same size")
+    rows = []
+    img = np.asarray(image)
+    for r in rois:
+        crop = img[r.slices()]
+        # ITK scan order: x fastest -> transpose to (z, y, x) then ravel C-order
+        rows.append(crop.transpose(2, 1, 0).reshape(-1))
+    return np.stack(rows) if rows else np.zeros((0, 0))
+
+
+def extract_labels(
+    label_image: np.ndarray,
+    rois: Sequence[ROI],
+    ignore: Sequence[int] = (),
+    dominant: int | None = None,
+    dominant_threshold: float = 0.0,
+) -> List[int]:
+    """ExtractLabels semantics (tools/ExtractLabels.cxx:165-210): per-ROI
+    mode label, skipping ignore-list values; if `dominant` is given and its
+    fraction exceeds `dominant_threshold`, it wins."""
+    img = np.asarray(label_image)
+    out = []
+    ignore_set = set(int(v) for v in ignore)
+    for r in rois:
+        crop = img[r.slices()].reshape(-1)
+        vals, counts = np.unique(crop, return_counts=True)
+        keep = [
+            (c, v) for v, c in zip(vals.tolist(), counts.tolist())
+            if int(v) not in ignore_set
+        ]
+        if not keep:
+            out.append(0)
+            continue
+        total = sum(c for c, _ in keep)
+        if dominant is not None:
+            dom = [(c, v) for c, v in keep if int(v) == int(dominant)]
+            if dom and dom[0][0] / total > dominant_threshold:
+                out.append(int(dominant))
+                continue
+        keep.sort(key=lambda cv: (-cv[0], cv[1]))
+        out.append(int(keep[0][1]))
+    return out

@@ -85,6 +85,9 @@ def eig_features_np(H):
 def features8_np(image, mask, sigma, spacing=(1, 1, 1), truncate=4.5):
     m = np.clip(mask, 0, 1).astype(np.float64)
     sm = normalized_conv_np(image.astype(np.float64), m, sigma, spacing, truncate)
+    # nan/inf only exists > FIR-radius away from the mask (0/0 divisions);
+    # zero it so eigvalsh accepts the input — all affected voxels are masked.
+    sm = np.where(np.isfinite(sm), sm, 0.0)
     gm = gradient_magnitude_np(sm, spacing)
     eig = eig_features_np(hessian_np(sm, spacing))
     feats = np.concatenate([sm[..., None], gm[..., None], eig], axis=-1)

@@ -1,0 +1,177 @@
+"""IO round-trip and format-semantics tests."""
+import gzip
+import io
+import numpy as np
+import pytest
+
+from ife_tpu.core.volume import Volume
+from ife_tpu.io.nifti import read_nifti, write_nifti
+from ife_tpu.io.hr2 import read_hr2, write_hr2, _write_field_length, _read_field_length
+from ife_tpu.io.octave import read_octave, write_octave
+from ife_tpu.io.roi_text import read_rois, write_rois
+from ife_tpu.io.hist_spec import read_hist_spec, write_hist_spec
+from ife_tpu.io.text import (
+    read_pair_list,
+    read_text_matrix,
+    read_text_sequence,
+    write_sequence_as_text,
+    write_matrix_csv,
+)
+from ife_tpu.io.volume_io import read_volume, write_volume
+from ife_tpu.roi.generate import ROI
+
+
+def _vol(shape=(7, 6, 5), dtype=np.float32, seed=0):
+    rng = np.random.default_rng(seed)
+    return Volume(
+        rng.standard_normal(shape).astype(dtype) * 100,
+        spacing=(0.7, 0.8, 1.25),
+        origin=(-12.5, 3.0, 42.0),
+    )
+
+
+@pytest.mark.parametrize("suffix", [".nii", ".nii.gz"])
+@pytest.mark.parametrize("dtype", [np.float32, np.uint8, np.int16, np.uint16, np.float64])
+def test_nifti_roundtrip(tmp_path, suffix, dtype):
+    v = _vol(dtype=dtype)
+    p = str(tmp_path / f"vol{suffix}")
+    write_nifti(p, v)
+    r = read_nifti(p)
+    np.testing.assert_array_equal(r.numpy(), v.numpy())
+    assert r.dtype == v.dtype
+    np.testing.assert_allclose(r.spacing, v.spacing, rtol=1e-6)
+    np.testing.assert_allclose(r.origin, v.origin, rtol=1e-6)
+
+
+def test_nifti_index_order(tmp_path):
+    """Voxel [x,y,z] must land at file offset x + y*nx + z*nx*ny (x fastest)."""
+    arr = np.arange(2 * 3 * 4, dtype=np.float32).reshape(2, 3, 4)
+    p = str(tmp_path / "order.nii")
+    write_nifti(p, Volume(arr))
+    with open(p, "rb") as f:
+        raw = f.read()
+    data = np.frombuffer(raw[352:], dtype=np.float32)
+    assert data[0] == arr[0, 0, 0]
+    assert data[1] == arr[1, 0, 0]  # x fastest
+    assert data[2] == arr[0, 1, 0]
+
+
+@pytest.mark.parametrize("pixel_type", ["float", "char"])
+def test_hr2_roundtrip(tmp_path, pixel_type):
+    if pixel_type == "char":
+        rng = np.random.default_rng(1)
+        v = Volume(
+            rng.integers(-100, 100, (5, 4, 3)).astype(np.int8),
+            spacing=(1.0, 2.0, 3.0),
+            origin=(0.5, -0.5, 10.0),
+        )
+    else:
+        v = _vol((5, 4, 3))
+    p = str(tmp_path / "vol.hr2")
+    write_hr2(p, v, pixel_type=pixel_type)
+    r = read_hr2(p)
+    np.testing.assert_allclose(r.numpy(), v.numpy().astype(np.float32))
+    np.testing.assert_allclose(r.spacing, v.spacing)
+    np.testing.assert_allclose(r.origin, v.origin)
+
+
+def test_hr2_field_length_scheme():
+    """The quirky <=4-byte zero-terminated little-endian length codec
+    (reference src/IO/HR2Reader.cxx:211-222)."""
+    for n in (1, 5, 255, 258, 65793, 0x04030201):
+        enc = _write_field_length(n)
+        assert _read_field_length(io.BytesIO(enc + b"xx")) == n
+
+
+def test_hr2_magic_quirk(tmp_path):
+    """'HR?' accepted for any ?!='3' (HR2Reader.cxx:97-102)."""
+    v = _vol((3, 3, 3))
+    p = str(tmp_path / "vol.hr2")
+    write_hr2(p, v)
+    raw = open(p, "rb").read()
+    open(p, "wb").write(b"HRX" + raw[3:])
+    r = read_hr2(p)  # should still parse
+    np.testing.assert_allclose(r.numpy(), v.numpy())
+    open(p, "wb").write(b"HR3" + raw[3:])
+    with pytest.raises(ValueError):
+        read_hr2(p)
+
+
+def test_octave_roundtrip_and_layout(tmp_path):
+    v = Volume(np.arange(2 * 3 * 4, dtype=np.float64).reshape(2, 3, 4))
+    p = str(tmp_path / "vol.octave")
+    write_octave(p, v)
+    r = read_octave(p)
+    np.testing.assert_array_equal(r.numpy(), v.numpy())
+    # stream order quirk: index ((z*sx)+x)*sy + y (OctaveReader.hxx:119-139)
+    with open(p) as f:
+        lines = [l for l in f if not l.startswith("#")][1:]
+    vals = np.array([float(l) for l in lines])
+    arr = v.numpy()
+    assert vals[0] == arr[0, 0, 0]
+    assert vals[1] == arr[0, 1, 0]  # y second-fastest
+    assert vals[3] == arr[1, 0, 0]  # then x
+    assert vals[6] == arr[0, 0, 1]  # z slowest
+
+
+def test_roi_text_roundtrip(tmp_path):
+    rois = [ROI((1, 2, 3), (41, 41, 41)), ROI((-1, 0, 7), (5, 6, 7))]
+    p = str(tmp_path / "rois.ROIInfo")
+    write_rois(p, rois, header="# index size")
+    got = read_rois(p, header=True)
+    assert got == rois
+    # format matches ITK operator<< exactly
+    line = open(p).readlines()[1].strip()
+    assert line == "[1, 2, 3][41, 41, 41]"
+
+
+def test_hist_spec_roundtrip(tmp_path):
+    rows = [np.array([0.0, 1.5, 2.5]), np.array([-1.0, 0.0, 3.0])]
+    p = str(tmp_path / "spec.txt")
+    write_hist_spec(p, rows, scales=[0.5, 1.0], feature_names=["A", "B"])
+    got = read_hist_spec(p)
+    assert len(got) == 2
+    np.testing.assert_allclose(got[0], rows[0])
+    np.testing.assert_allclose(got[1], rows[1])
+
+
+def test_hist_spec_unequal_bins_raises(tmp_path):
+    p = str(tmp_path / "bad.txt")
+    open(p, "w").write("1,2,3\n1,2\n")
+    with pytest.raises(ValueError):
+        read_hist_spec(p)
+
+
+def test_pair_list(tmp_path):
+    p = str(tmp_path / "pairs.csv")
+    open(p, "w").write("img1.nii , mask1.nii\nimg2.nii,mask2.nii\n\n")
+    got = read_pair_list(p)
+    assert got == [("img1.nii", "mask1.nii"), ("img2.nii", "mask2.nii")]
+    open(p, "w").write("no-separator-here\n")
+    with pytest.raises(ValueError):
+        read_pair_list(p)
+
+
+def test_text_matrix_and_sequence():
+    m = read_text_matrix(["1,2,3\n", "4,5,6\n"])
+    np.testing.assert_array_equal(m, [[1, 2, 3], [4, 5, 6]])
+    s = read_text_sequence("1.5, 2.5 ,3")
+    np.testing.assert_allclose(s, [1.5, 2.5, 3.0])
+    assert write_sequence_as_text([1, 2, 3]) == "1,2,3"
+
+
+def test_write_matrix_csv(tmp_path):
+    p = str(tmp_path / "m.bag")
+    write_matrix_csv(p, np.array([[0.25, 0.75], [1.0 / 3, 2.0 / 3]]))
+    lines = open(p).read().strip().split("\n")
+    assert lines[0] == "0.25,0.75"
+    assert lines[1] == "0.333333,0.666667"
+
+
+def test_volume_io_dispatch(tmp_path):
+    v = _vol((4, 4, 4))
+    for name in ("a.nii.gz", "b.hr2", "c.npy"):
+        p = str(tmp_path / name)
+        write_volume(p, v)
+        r = read_volume(p)
+        np.testing.assert_allclose(r.numpy(), v.numpy(), rtol=1e-6)
