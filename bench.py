@@ -1,0 +1,105 @@
+"""Benchmark: Hessian + closed-form eigen features, voxels/sec/chip.
+
+The BASELINE.json metric ("Hessian+eig voxels/sec/chip at 512^3"). The
+reference publishes no numbers (BASELINE.md), so vs_baseline is measured
+against a NumPy re-derivation of the same pipeline on the host CPU —
+the honest single-node stand-in for the reference's ITK implementation.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "voxels/sec/chip", "vs_baseline": N}
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _device_kind():
+    import jax
+
+    d = jax.devices()[0]
+    return d.platform, d.device_kind
+
+
+def bench_tpu(shape, iters=5):
+    """Per-iteration device time for the full feature-volume materialization.
+
+    The axon tunnel's block_until_ready returns early, so each iteration
+    fetches a checksum scalar that data-depends on the materialized output
+    (true completion), and the measured RPC round-trip floor is subtracted.
+    """
+    import jax
+    import jax.numpy as jnp
+    from ife_tpu.ops.features import hessian_eig_features
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, shape, dtype=jnp.float32)
+    x.block_until_ready()
+
+    @jax.jit
+    def fn(v):
+        out = hessian_eig_features(v, (0.78, 0.78, 1.0))
+        return out, out[..., 0].sum()
+
+    @jax.jit
+    def tiny(v):
+        return v.sum()
+
+    small = jnp.ones(8)
+    float(tiny(small))  # warm
+    t0 = time.perf_counter()
+    for _ in range(10):
+        float(tiny(small))
+    rpc_floor = (time.perf_counter() - t0) / 10
+
+    _, c = fn(x)
+    float(c)  # compile + warm
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _, c = fn(x)
+        float(c)
+        times.append(time.perf_counter() - t0)
+    dt = max(float(np.median(times)) - rpc_floor, 1e-9)
+    return float(np.prod(shape)) / dt
+
+
+def bench_cpu_reference(shape=(128, 128, 128)):
+    """Host-CPU NumPy re-derivation of the same math (tests/numpy_ref.py):
+    proxy for the reference's single-node throughput."""
+    sys.path.insert(0, ".")
+    from tests import numpy_ref as ref
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(shape).astype(np.float64)
+    t0 = time.perf_counter()
+    H = ref.hessian_np(x, (0.78, 0.78, 1.0))
+    ref.eig_features_np(H)
+    dt = time.perf_counter() - t0
+    return float(np.prod(shape)) / dt
+
+
+def main():
+    platform, kind = _device_kind()
+    shape = (512, 512, 512) if platform == "tpu" else (128, 128, 128)
+    try:
+        vox_s = bench_tpu(shape)
+    except Exception:  # OOM headroom fallback
+        shape = (384, 384, 384)
+        vox_s = bench_tpu(shape)
+    cpu_vox_s = bench_cpu_reference()
+    print(
+        json.dumps(
+            {
+                "metric": f"hessian_eig_voxels_per_sec_chip_{shape[0]}cubed_{kind.replace(' ', '_')}",
+                "value": round(vox_s, 1),
+                "unit": "voxels/sec/chip",
+                "vs_baseline": round(vox_s / cpu_vox_s, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

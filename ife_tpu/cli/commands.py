@@ -1,0 +1,743 @@
+"""Subcommand implementations for the `ife` CLI.
+
+Each entry mirrors one reference tool (SURVEY.md §2.2). REGISTRY maps
+subcommand name -> (configure(parser), run(args), help). JAX imports are
+deferred into run() so `ife --help` stays instant.
+"""
+from __future__ import annotations
+
+import os
+import sys
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _triple(s: str, cast=int):
+    parts = [p for p in s.replace(",", " ").split() if p]
+    if len(parts) != 3:
+        raise ValueError(f"expected 3 comma-separated values, got {s!r}")
+    return tuple(cast(p) for p in parts)
+
+
+def _pair(s: str, cast=int):
+    parts = [p for p in s.replace(",", " ").split() if p]
+    if len(parts) != 2:
+        raise ValueError(f"expected 2 comma-separated values, got {s!r}")
+    return tuple(cast(p) for p in parts)
+
+
+def _load(path):
+    from ife_tpu.io import read_volume
+
+    return read_volume(path)
+
+
+def _save(path, vol):
+    from ife_tpu.io import write_volume
+
+    write_volume(path, vol)
+
+
+def _progress(msg: str):
+    # reference tools print progress lines to stdout (MakeBag.cxx:406)
+    print(msg, flush=True)
+
+
+def _get_rois(args, mask_np, default_size=(41, 41, 41)):
+    """ROI source resolution shared by the bag tools: explicit ROI file, or
+    random generation (MakeBag.cxx:272-317)."""
+    from ife_tpu.io import read_rois
+    from ife_tpu.roi import generate_random_rois
+
+    if getattr(args, "roi_file", None):
+        return read_rois(args.roi_file, header=getattr(args, "roi_header", False))
+    size = getattr(args, "roi_size", None) or default_size
+    return generate_random_rois(
+        mask_np, n=args.num_rois, size=size, seed=getattr(args, "seed", None)
+    )
+
+
+# ---------------------------------------------------------------------------
+# feature tools
+# ---------------------------------------------------------------------------
+
+def conf_extract_features(p):
+    p.add_argument("-i", "--image", required=True)
+    p.add_argument("-m", "--mask", required=True)
+    p.add_argument("-o", "--out", required=True, help="output prefix")
+    p.add_argument("-s", "--scales", type=float, nargs="+", required=True)
+
+
+def run_extract_features(args):
+    """Reference tools/ExtractFeatures.cxx: per scale, 8 feature volumes
+    written as <out>_scale_<s><FeatureName>.nii.gz."""
+    import jax.numpy as jnp
+    from ife_tpu.ops.features import features8_jit, FEATURE_NAMES
+
+    vol = _load(args.image)
+    mask = _load(args.mask)
+    img = jnp.asarray(vol.data, jnp.float32)
+    msk = jnp.asarray(mask.data)
+    for s in args.scales:
+        _progress(f"Processing scale {s:g}")
+        feats = np.asarray(
+            features8_jit(img, msk, sigma=float(s), spacing=vol.spacing)
+        )
+        for c, name in enumerate(FEATURE_NAMES):
+            out = vol.with_data(feats[..., c])
+            _save(f"{args.out}_scale_{s:g}{name}.nii.gz", out)
+
+
+def conf_masked_normalized_convolution(p):
+    p.add_argument("-i", "--image", required=True)
+    p.add_argument("-c", "--certainty", required=True)
+    p.add_argument("-o", "--out", required=True, help="output prefix")
+    p.add_argument("-s", "--scales", type=float, nargs="+", required=True)
+    p.add_argument("--mask-output", action="store_true",
+                   help="zero the output outside the certainty support")
+
+
+def run_masked_normalized_convolution(args):
+    """Reference tools/MaskedNormalizedConvolution.cxx:141-203."""
+    import jax.numpy as jnp
+    from ife_tpu.ops.stencil import normalized_gaussian_convolution
+
+    vol = _load(args.image)
+    cert = _load(args.certainty)
+    img = jnp.asarray(vol.data, jnp.float32)
+    c = jnp.asarray(cert.data, jnp.float32)
+    for s in args.scales:
+        _progress(f"Processing scale {s:g}")
+        out = normalized_gaussian_convolution(img, c, float(s), vol.spacing)
+        if args.mask_output:
+            out = jnp.where(c != 0, out, 0.0)
+        else:
+            out = jnp.nan_to_num(out, nan=0.0, posinf=0.0, neginf=0.0)
+        _save(f"{args.out}scale_{s:g}.nii.gz", vol.with_data(np.asarray(out)))
+
+
+def conf_gradient_features(p):
+    p.add_argument("-i", "--image", required=True)
+    p.add_argument("-m", "--mask", required=True)
+    p.add_argument("-o", "--out", required=True)
+
+
+def run_gradient_features(args):
+    """Reference tools/FiniteDifference_GradientFeatures.cxx:104-137:
+    masked central-difference gradient magnitude."""
+    import jax.numpy as jnp
+    from ife_tpu.ops.stencil import gradient_magnitude
+
+    vol = _load(args.image)
+    mask = _load(args.mask)
+    gm = gradient_magnitude(jnp.asarray(vol.data, jnp.float32), vol.spacing)
+    gm = jnp.where(jnp.asarray(mask.data) != 0, gm, 0.0)
+    _save(args.out, vol.with_data(np.asarray(gm)))
+
+
+# ---------------------------------------------------------------------------
+# bag tools
+# ---------------------------------------------------------------------------
+
+def _conf_bag_common(p):
+    p.add_argument("-i", "--image", required=True)
+    p.add_argument("-m", "--mask", required=True)
+    p.add_argument("-b", "--bins", dest="hist_spec", required=True,
+                   help="histogram spec file (bin edges)")
+    p.add_argument("-o", "--out", required=True, help="output prefix")
+
+
+def conf_make_bag(p):
+    _conf_bag_common(p)
+    p.add_argument("-s", "--scales", type=float, nargs="+", required=True)
+    p.add_argument("-r", "--roi-file", default=None)
+    p.add_argument("--roi-header", action="store_true")
+    p.add_argument("-n", "--num-rois", type=int, default=50)
+    p.add_argument("--roi-size", type=_triple, default=(41, 41, 41),
+                   metavar="X,Y,Z")
+    p.add_argument("--seed", type=int, default=None)
+
+
+def run_make_bag(args):
+    """Reference tools/MakeBag.cxx: per-ROI concatenated feature histograms
+    -> <prefix>.bag CSV + <prefix>.ROIInfo."""
+    from ife_tpu.io import read_hist_spec, write_rois
+    from ife_tpu.io.text import write_matrix_csv
+    from ife_tpu.roi import make_bag
+
+    vol = _load(args.image)
+    mask = _load(args.mask)
+    edges = read_hist_spec(args.hist_spec)
+    mask_np = np.asarray(mask.data)
+    rois = _get_rois(args, mask_np)
+    bag = make_bag(np.asarray(vol.data), mask_np, args.scales, edges, rois,
+                   spacing=vol.spacing)
+    write_matrix_csv(f"{args.out}.bag", bag)
+    write_rois(f"{args.out}.ROIInfo", rois)
+    _progress(f"Wrote {bag.shape[0]} ROIs x {bag.shape[1]} columns")
+
+
+def conf_make_bag_dense(p):
+    _conf_bag_common(p)
+    p.add_argument("-s", "--scales", type=float, nargs="+", required=True)
+    p.add_argument("--roi-size", type=_triple, default=(41, 41, 41),
+                   metavar="X,Y,Z")
+
+
+def run_make_bag_dense(args):
+    """Reference tools/MakeBagDense.cxx: every foreground voxel is an ROI
+    center (DenseROIGenerator)."""
+    from ife_tpu.io import read_hist_spec, write_rois
+    from ife_tpu.io.text import write_matrix_csv
+    from ife_tpu.roi import generate_dense_rois, make_bag
+
+    vol = _load(args.image)
+    mask = _load(args.mask)
+    edges = read_hist_spec(args.hist_spec)
+    mask_np = np.asarray(mask.data)
+    rois = generate_dense_rois(mask_np, args.roi_size)
+    bag = make_bag(np.asarray(vol.data), mask_np, args.scales, edges, rois,
+                   spacing=vol.spacing)
+    write_matrix_csv(f"{args.out}.bag", bag)
+    write_rois(f"{args.out}.ROIInfo", rois)
+    _progress(f"Wrote {bag.shape[0]} ROIs x {bag.shape[1]} columns")
+
+
+def conf_make_bag_only_intensity(p):
+    _conf_bag_common(p)
+    p.add_argument("-r", "--roi-file", default=None)
+    p.add_argument("--roi-header", action="store_true")
+    p.add_argument("-n", "--num-rois", type=int, default=50)
+    p.add_argument("--roi-size", type=_triple, default=(41, 41, 41),
+                   metavar="X,Y,Z")
+    p.add_argument("--seed", type=int, default=None)
+
+
+def run_make_bag_only_intensity(args):
+    """Reference tools/MakeBagOnlyIntensity.cxx: raw intensity, single
+    histogram (check at :326-330)."""
+    from ife_tpu.io import read_hist_spec, write_rois
+    from ife_tpu.io.text import write_matrix_csv
+    from ife_tpu.roi.bag import make_bag_intensity
+
+    vol = _load(args.image)
+    mask = _load(args.mask)
+    edges = read_hist_spec(args.hist_spec)
+    if len(edges) != 1:
+        raise ValueError("intensity bags use exactly one histogram row")
+    mask_np = np.asarray(mask.data)
+    rois = _get_rois(args, mask_np)
+    bag = make_bag_intensity(np.asarray(vol.data), mask_np, edges[0], rois)
+    write_matrix_csv(f"{args.out}.bag", bag)
+    write_rois(f"{args.out}.ROIInfo", rois)
+
+
+def conf_determine_bin_edges(p):
+    p.add_argument("-l", "--pair-list", required=True,
+                   help="text file: image,mask per line")
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("-s", "--scales", type=float, nargs="+", required=True)
+    p.add_argument("--bins", type=int, required=True)
+    p.add_argument("--samples", type=int, default=0,
+                   help="random samples per image (0 = all masked voxels)")
+    p.add_argument("--foreground", type=int, nargs="+", default=[1],
+                   help="mask labels counted as foreground")
+    p.add_argument("--seed", type=int, default=None)
+
+
+def run_determine_bin_edges(args):
+    """Reference tools/DetermineHistogramBinEdges_MultiScaleEigenvalue
+    Features.cxx: per (scale, feature) equal-frequency edges over a sample
+    of masked feature voxels from all listed images."""
+    import jax.numpy as jnp
+    from ife_tpu.io import read_pair_list, write_hist_spec
+    from ife_tpu.ops.features import features8_jit, FEATURE_NAMES, NUM_FEATURES
+    from ife_tpu.stats.equalize import determine_edges_for_equalized_histogram
+
+    pairs = read_pair_list(args.pair_list)
+    rng = np.random.default_rng(args.seed)
+    samples = [[] for _ in range(NUM_FEATURES * len(args.scales))]
+    for img_path, mask_path in pairs:
+        _progress(f"Processing {img_path} / {mask_path}")
+        vol = _load(img_path)
+        mask = _load(mask_path)
+        mask_np = np.asarray(mask.data)
+        fg = np.isin(mask_np, np.asarray(args.foreground))
+        img = jnp.asarray(vol.data, jnp.float32)
+        msk = jnp.asarray(fg.astype(np.uint8))
+        for i, s in enumerate(args.scales):
+            feats = np.asarray(
+                features8_jit(img, msk, sigma=float(s), spacing=vol.spacing)
+            )
+            sel = feats[fg]  # (n, 8)
+            if args.samples > 0 and sel.shape[0] > args.samples:
+                sel = sel[rng.choice(sel.shape[0], args.samples, replace=False)]
+            for k in range(NUM_FEATURES):
+                samples[i * NUM_FEATURES + k].append(sel[:, k])
+    edge_rows = []
+    for vals in samples:
+        v = np.sort(np.concatenate(vals))
+        edge_rows.append(determine_edges_for_equalized_histogram(v, args.bins))
+    write_hist_spec(args.out, edge_rows, scales=args.scales,
+                    feature_names=FEATURE_NAMES)
+
+
+# ---------------------------------------------------------------------------
+# ROI tools
+# ---------------------------------------------------------------------------
+
+def conf_generate_rois(p):
+    p.add_argument("-m", "--mask", required=True)
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("-n", "--num-rois", type=int, default=50)
+    p.add_argument("--size", type=_triple, default=(53, 53, 41), metavar="X,Y,Z")
+    p.add_argument("--mask-value", type=int, default=1)
+    p.add_argument("--seed", type=int, default=None)
+
+
+def run_generate_rois(args):
+    """Reference tools/GenerateROIs.cxx:127-163."""
+    from ife_tpu.io import write_rois
+    from ife_tpu.roi import generate_random_rois
+
+    mask = _load(args.mask)
+    binary = (np.asarray(mask.data) == args.mask_value).astype(np.uint8)
+    rois = generate_random_rois(binary, n=args.num_rois, size=args.size,
+                                seed=args.seed)
+    write_rois(args.out, rois)
+
+
+def conf_generate_rois_many_regions(p):
+    p.add_argument("-m", "--mask", required=True)
+    p.add_argument("-o", "--out", required=True, help="output prefix")
+    p.add_argument("-n", "--num-rois", type=int, default=50)
+    p.add_argument("--size", type=_triple, default=(53, 53, 41), metavar="X,Y,Z")
+    p.add_argument("--labels", type=int, nargs="+", default=None,
+                   help="default: every nonzero label present")
+    p.add_argument("--seed", type=int, default=None)
+
+
+def run_generate_rois_many_regions(args):
+    """Reference tools/GenerateROIsManyRegions.cxx:151-176: one ROI file
+    per mask label."""
+    from ife_tpu.io import write_rois
+    from ife_tpu.roi import generate_random_rois
+
+    mask = _load(args.mask)
+    m = np.asarray(mask.data)
+    labels = args.labels or sorted(int(v) for v in np.unique(m) if v != 0)
+    for lab in labels:
+        binary = (m == lab).astype(np.uint8)
+        rois = generate_random_rois(binary, n=args.num_rois, size=args.size,
+                                    seed=args.seed)
+        write_rois(f"{args.out}_{lab}.ROIInfo", rois)
+        _progress(f"label {lab}: {len(rois)} ROIs")
+
+
+def conf_sample_rois(p):
+    p.add_argument("-i", "--image", required=True)
+    p.add_argument("-r", "--roi-file", required=True)
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("--roi-header", action="store_true")
+
+
+def run_sample_rois(args):
+    """Reference tools/SampleROIs.cxx:104-170."""
+    from ife_tpu.io import read_rois
+    from ife_tpu.io.text import write_matrix_csv
+    from ife_tpu.roi.bag import sample_rois
+
+    vol = _load(args.image)
+    rois = read_rois(args.roi_file, header=args.roi_header)
+    write_matrix_csv(args.out, sample_rois(np.asarray(vol.data), rois))
+
+
+def conf_extract_labels(p):
+    p.add_argument("-l", "--label-image", required=True)
+    p.add_argument("-r", "--roi-file", required=True)
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("--ignore", type=int, nargs="+", default=[])
+    p.add_argument("--dominant", type=int, default=None)
+    p.add_argument("--dominant-threshold", type=float, default=0.0)
+    p.add_argument("--roi-header", action="store_true")
+
+
+def run_extract_labels(args):
+    """Reference tools/ExtractLabels.cxx:165-210."""
+    from ife_tpu.io import read_rois
+    from ife_tpu.roi.bag import extract_labels
+
+    vol = _load(args.label_image)
+    rois = read_rois(args.roi_file, header=args.roi_header)
+    labels = extract_labels(np.asarray(vol.data), rois, ignore=args.ignore,
+                            dominant=args.dominant,
+                            dominant_threshold=args.dominant_threshold)
+    with open(args.out, "w") as f:
+        for lab in labels:
+            f.write(f"{lab}\n")
+
+
+# ---------------------------------------------------------------------------
+# image utility tools
+# ---------------------------------------------------------------------------
+
+def conf_masked_image_filter(p):
+    p.add_argument("-i", "--image", required=True)
+    p.add_argument("-m", "--mask", required=True)
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("--outside", type=float, default=0.0)
+
+
+def run_masked_image_filter(args):
+    import jax.numpy as jnp
+    from ife_tpu.ops.transform import mask_image
+
+    vol = _load(args.image)
+    mask = _load(args.mask)
+    out = mask_image(jnp.asarray(vol.data), jnp.asarray(mask.data), args.outside)
+    _save(args.out, vol.with_data(np.asarray(out)))
+
+
+def conf_extract_masked_region(p):
+    p.add_argument("-m", "--mask", required=True)
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("--include", type=int, nargs="+", required=True)
+    p.add_argument("--inside", type=int, default=1)
+    p.add_argument("--outside", type=int, default=0)
+
+
+def run_extract_masked_region(args):
+    import jax.numpy as jnp
+    from ife_tpu.ops.transform import relabel_mask
+
+    mask = _load(args.mask)
+    out = relabel_mask(jnp.asarray(mask.data), args.include, args.inside,
+                       args.outside)
+    _save(args.out, mask.with_data(np.asarray(out)))
+
+
+def conf_extract_bounding_box(p):
+    p.add_argument("-i", "--image", required=True)
+    p.add_argument("-m", "--mask", required=True)
+    p.add_argument("-o", "--out", required=True)
+
+
+def run_extract_bounding_box(args):
+    from ife_tpu.ops.transform import crop_to_bounding_box
+
+    vol = _load(args.image)
+    mask = _load(args.mask)
+    _save(args.out, crop_to_bounding_box(vol, np.asarray(mask.data)))
+
+
+def conf_extract_slices(p):
+    p.add_argument("-i", "--image", required=True)
+    p.add_argument("-o", "--out", required=True, help="output prefix")
+    p.add_argument("--axis", type=int, default=2, choices=(0, 1, 2))
+    p.add_argument("--indices", type=int, nargs="*", default=[])
+    p.add_argument("--fractions", type=float, nargs="*", default=[])
+    p.add_argument("--window", type=int, default=0)
+    p.add_argument("--stride", type=int, default=1)
+    p.add_argument("--mask", default=None,
+                   help="crop to this mask's bounding box first")
+    p.add_argument("--no-flip", action="store_true")
+
+
+def run_extract_slices(args):
+    """Reference tools/ExtractSlices.cxx."""
+    from ife_tpu.ops.transform import (
+        crop_to_bounding_box,
+        extract_slice,
+        slice_indices,
+    )
+
+    vol = _load(args.image)
+    if args.mask:
+        mask = _load(args.mask)
+        vol = crop_to_bounding_box(vol, np.asarray(mask.data))
+    n = vol.shape[args.axis]
+    idxs = slice_indices(n, args.indices, args.fractions, args.window,
+                         args.stride)
+    if not idxs:
+        raise ValueError("no slice indices selected")
+    data = vol.numpy()
+    from ife_tpu.core.volume import Volume
+
+    for i in idxs:
+        plane = extract_slice(data, args.axis, i, flip=not args.no_flip)
+        sp = [vol.spacing[d] for d in range(3) if d != args.axis]
+        out = Volume(plane[..., None], spacing=(*sp, 1.0))
+        _save(f"{args.out}_{i}.nii.gz", out)
+
+
+def conf_extract_window(p):
+    p.add_argument("-i", "--image", required=True)
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("--level", type=float, default=-500.0)
+    p.add_argument("--width", type=float, default=1500.0)
+    p.add_argument("--out-spacing", type=float, default=0.25)
+    p.add_argument("--mask", default=None)
+
+
+def run_extract_window(args):
+    """Reference tools/ExtractWindow.cxx: resample 2D to isotropic spacing
+    then window to uint8."""
+    import jax.numpy as jnp
+    from ife_tpu.core.volume import Volume
+    from ife_tpu.ops.transform import intensity_window, resample_to_spacing_2d
+
+    vol = _load(args.image)
+    data = np.asarray(vol.data)
+    if data.ndim == 3 and data.shape[2] == 1:
+        data = data[..., 0]
+    if data.ndim != 2:
+        raise ValueError("extract-window expects a 2D image")
+    res = resample_to_spacing_2d(jnp.asarray(data), vol.spacing[:2],
+                                 args.out_spacing)
+    win = intensity_window(res, args.level, args.width)
+    if args.mask:
+        mask = _load(args.mask)
+        m = np.asarray(mask.data)
+        if m.ndim == 3:
+            m = m[..., 0]
+        mres = resample_to_spacing_2d(jnp.asarray(m.astype(np.float32)),
+                                      mask.spacing[:2], args.out_spacing)
+        win = jnp.where(mres > 0.5, win, 0)
+    out = Volume(np.asarray(win)[..., None],
+                 spacing=(args.out_spacing, args.out_spacing, 1.0))
+    _save(args.out, out)
+
+
+def conf_pad_image(p):
+    p.add_argument("-i", "--image", required=True)
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("--size", type=_pair, required=True, metavar="X,Y")
+    p.add_argument("--value", type=float, default=0.0)
+
+
+def run_pad_image(args):
+    """Reference tools/PadImage.cxx:60-76."""
+    from ife_tpu.core.volume import Volume
+    from ife_tpu.ops.transform import pad_to_size_2d
+
+    vol = _load(args.image)
+    data = np.asarray(vol.data)
+    squeeze = data.ndim == 3 and data.shape[2] == 1
+    if squeeze:
+        data = data[..., 0]
+    out = pad_to_size_2d(data, args.size, args.value)
+    _save(args.out, Volume(out[..., None], spacing=vol.spacing))
+
+
+def conf_resample(p):
+    p.add_argument("-s", "--source", required=True)
+    p.add_argument("-t", "--target", required=True)
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("--nearest", action="store_true",
+                   help="nearest-neighbor interpolation (for masks)")
+    p.add_argument("--default-value", type=float, default=0.0)
+
+
+def run_resample(args):
+    """Reference tools/Resample.cxx:83-103."""
+    from ife_tpu.ops.transform import resample_to_grid
+
+    src = _load(args.source)
+    tgt = _load(args.target)
+    out = resample_to_grid(src, tgt, order=0 if args.nearest else 1,
+                           default_value=args.default_value)
+    _save(args.out, out)
+
+
+# ---------------------------------------------------------------------------
+# converters
+# ---------------------------------------------------------------------------
+
+def conf_convert_hr2(p):
+    p.add_argument("input")
+    p.add_argument("output")
+
+
+def run_convert_hr2(args):
+    """Reference tools/ConvertHR2.cxx:23-95."""
+    from ife_tpu.io import read_hr2
+
+    _save(args.output, read_hr2(args.input))
+
+
+def conf_convert_from_octave(p):
+    p.add_argument("input")
+    p.add_argument("output")
+
+
+def run_convert_from_octave(args):
+    """Reference tools/ConvertFromOctave.cxx:56-75."""
+    from ife_tpu.io import read_octave
+
+    _save(args.output, read_octave(args.input))
+
+
+def conf_convert_dicom(p):
+    p.add_argument("-d", "--dicom-dir", required=True)
+    p.add_argument("-o", "--out-dir", required=True)
+
+
+def run_convert_dicom(args):
+    """Reference tools/ConvertDICOM.cxx:70-131: one volume per series,
+    named from PatientID/StudyDate/ConvolutionKernel/SliceSpacing tags."""
+    from ife_tpu.io.dicom import convert_dicom_dir
+
+    written = convert_dicom_dir(args.dicom_dir, args.out_dir)
+    for path in written:
+        _progress(f"wrote {path}")
+
+
+# ---------------------------------------------------------------------------
+# misc
+# ---------------------------------------------------------------------------
+
+def conf_expected_distance(p):
+    p.add_argument("-m", "--mask", required=True)
+    p.add_argument("-p", "--prob", required=True,
+                   help="interest-point probability image")
+
+
+def run_expected_distance(args):
+    """Reference tools/CalculateExpectedDistanceFromCenterToInterestPoints
+    .cxx:76-79 — prints the scalar."""
+    from ife_tpu.stats.distance import (
+        expected_distance_from_center_to_interest_point,
+    )
+
+    mask = _load(args.mask)
+    prob = _load(args.prob)
+    val = expected_distance_from_center_to_interest_point(
+        np.asarray(mask.data), np.asarray(prob.data), mask.spacing
+    )
+    print(val)
+
+
+def conf_image_browser(p):
+    p.add_argument("-i", "--image", required=True)
+    p.add_argument("--cmd", default=None,
+                   help="run one command non-interactively (info|hist|coverage)")
+    p.add_argument("--roi-size", type=_triple, default=(41, 41, 41),
+                   metavar="X,Y,Z")
+    p.add_argument("--coverage-samples", type=int, default=1000)
+
+
+def run_image_browser(args):
+    """Reference tools/ImageBrowser.cxx: info, unique-value histogram, and
+    Monte-Carlo ROI-coverage estimation (:24-100)."""
+    vol = _load(args.image)
+    data = vol.numpy()
+
+    def cmd_info():
+        print(f"shape: {vol.shape}")
+        print(f"spacing: {vol.spacing}")
+        print(f"origin: {vol.origin}")
+        print(f"dtype: {vol.dtype}")
+        print(f"min/max: {data.min():g} {data.max():g}")
+
+    def cmd_hist():
+        vals, counts = np.unique(data, return_counts=True)
+        if vals.size > 64:
+            print(f"{vals.size} unique values; showing 64 quantile bins")
+            qs = np.quantile(data.reshape(-1), np.linspace(0, 1, 65))
+            hist, _ = np.histogram(data, bins=np.unique(qs))
+            for lo, hi, c in zip(qs[:-1], qs[1:], hist):
+                print(f"[{lo:g}, {hi:g}): {c}")
+        else:
+            for v, c in zip(vals, counts):
+                print(f"{v:g}: {c}")
+
+    def cmd_coverage():
+        from ife_tpu.roi import generate_random_rois
+
+        binary = (data != 0).astype(np.uint8)
+        covered = np.zeros_like(binary, dtype=bool)
+        rois = generate_random_rois(binary, n=args.coverage_samples,
+                                    size=args.roi_size, seed=0)
+        for r in rois:
+            covered[r.slices()] = True
+        frac = covered[binary != 0].mean() if binary.any() else 0.0
+        print(f"coverage: {frac:.4f} with {len(rois)} ROIs of {args.roi_size}")
+
+    cmds = {"info": cmd_info, "hist": cmd_hist, "coverage": cmd_coverage}
+    if args.cmd:
+        cmds[args.cmd]()
+        return
+    print("commands: info hist coverage quit")
+    for line in sys.stdin:
+        c = line.strip()
+        if c in ("quit", "q", "exit"):
+            break
+        if c in cmds:
+            cmds[c]()
+        elif c:
+            print(f"unknown command {c!r}; commands: info hist coverage quit")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: Dict[str, Tuple] = {
+    "extract-features": (conf_extract_features, run_extract_features,
+                         "8-channel multi-scale feature volumes (ExtractFeatures)"),
+    "make-bag": (conf_make_bag, run_make_bag,
+                 "per-ROI feature histogram bag CSV (MakeBag)"),
+    "make-bag-dense": (conf_make_bag_dense, run_make_bag_dense,
+                       "bag with an ROI at every foreground voxel (MakeBagDense)"),
+    "make-bag-only-intensity": (conf_make_bag_only_intensity,
+                                run_make_bag_only_intensity,
+                                "raw-intensity bag (MakeBagOnlyIntensity)"),
+    "determine-bin-edges": (conf_determine_bin_edges, run_determine_bin_edges,
+                            "equalized histogram bin edges over an image list "
+                            "(DetermineHistogramBinEdges_MultiScaleEigenvalueFeatures)"),
+    "masked-normalized-convolution": (conf_masked_normalized_convolution,
+                                      run_masked_normalized_convolution,
+                                      "normalized Gaussian convolution (MaskedNormalizedConvolution)"),
+    "gradient-features": (conf_gradient_features, run_gradient_features,
+                          "masked gradient magnitude (FiniteDifference_GradientFeatures)"),
+    "generate-rois": (conf_generate_rois, run_generate_rois,
+                      "random ROI boxes from a mask (GenerateROIs)"),
+    "generate-rois-many-regions": (conf_generate_rois_many_regions,
+                                   run_generate_rois_many_regions,
+                                   "random ROIs per mask label (GenerateROIsManyRegions)"),
+    "sample-rois": (conf_sample_rois, run_sample_rois,
+                    "raw voxel matrix per ROI (SampleROIs)"),
+    "extract-labels": (conf_extract_labels, run_extract_labels,
+                       "per-ROI mode label (ExtractLabels)"),
+    "masked-image-filter": (conf_masked_image_filter, run_masked_image_filter,
+                            "mask an image (MaskedImageFilter)"),
+    "extract-masked-region": (conf_extract_masked_region,
+                              run_extract_masked_region,
+                              "relabel mask by include-set (ExtractMaskedRegion)"),
+    "extract-bounding-box": (conf_extract_bounding_box, run_extract_bounding_box,
+                             "crop to mask bounding box (ExtractBoundingBox)"),
+    "extract-slices": (conf_extract_slices, run_extract_slices,
+                       "2D slices along an axis (ExtractSlices)"),
+    "extract-window": (conf_extract_window, run_extract_window,
+                       "resample + intensity window to uint8 (ExtractWindow)"),
+    "pad-image": (conf_pad_image, run_pad_image,
+                  "centered constant pad of a 2D image (PadImage)"),
+    "resample": (conf_resample, run_resample,
+                 "resample source onto target grid (Resample)"),
+    "convert-hr2": (conf_convert_hr2, run_convert_hr2,
+                    "convert .hr2 to a standard volume (ConvertHR2)"),
+    "convert-from-octave": (conf_convert_from_octave, run_convert_from_octave,
+                            "convert Octave ASCII matrix (ConvertFromOctave)"),
+    "convert-dicom": (conf_convert_dicom, run_convert_dicom,
+                      "convert DICOM series directory (ConvertDICOM)"),
+    "expected-distance": (conf_expected_distance, run_expected_distance,
+                          "E[signed distance x probability] over a mask "
+                          "(CalculateExpectedDistanceFromCenterToInterestPoints)"),
+    "image-browser": (conf_image_browser, run_image_browser,
+                      "image info / histogram / ROI coverage REPL (ImageBrowser)"),
+}

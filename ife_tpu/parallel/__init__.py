@@ -16,3 +16,7 @@ from ife_tpu.parallel.features import (  # noqa: F401
     sharded_hessian_eig,
     sharded_multiscale_features,
 )
+from ife_tpu.parallel.stats import (  # noqa: F401
+    histogram_quantile_edges,
+    sharded_masked_histogram,
+)

@@ -1,0 +1,247 @@
+"""Sharded (multi-device) feature ops: the single-device ops of
+ife_tpu.ops re-expressed over a block-sharded voxel grid.
+
+Design (new — the reference is single-node, SURVEY.md §2.4):
+  * the volume is block-sharded along X (1D mesh) or X,Y (2D mesh); Z — the
+    TPU lane axis — stays local;
+  * Gaussian smoothing along a sharded axis = radius-R halo exchange + a
+    rectangular band-matrix contraction producing exactly the kept region
+    (the halo's edge replication reproduces ITK's ZeroFluxNeumann clamp, so
+    results match the single-device banded contraction);
+  * all finite differences after smoothing need radius 1 per axis — one
+    more halo exchange of the smoothed field, then every derivative
+    (including the cascaded cross terms Dx→Dy etc., reference
+    Hessian3DImageFilter.hxx:31-59) is local, consuming the halo exactly
+    once per axis;
+  * eigen features / masking are elementwise-local;
+  * per-block results compose into the same (X, Y, Z, 8) global array as
+    ops.features.features8 — parity is tested on the 8-device CPU mesh.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Dict, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ife_tpu.ops import stencil
+from ife_tpu.ops.eigen import eigenvalue_features
+from ife_tpu.parallel.halo import halo_exchange, _slab
+from ife_tpu.parallel.mesh import volume_pspec
+
+
+# ---------------------------------------------------------------------------
+# banded Gaussian on an extended block
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=1024)
+def _band_matrix_ext(n_local: int, sigma_vox: float, radius: int) -> np.ndarray:
+    """(n_local, n_local + 2*radius) tap matrix, no boundary clamping —
+    the halo provides boundary semantics."""
+    taps = stencil._gaussian_taps(sigma_vox, radius)
+    W = np.zeros((n_local, n_local + 2 * radius), dtype=np.float64)
+    for t_idx, t in enumerate(taps):
+        for o in range(n_local):
+            W[o, o + t_idx] += t
+    return W
+
+
+def _smooth_axis_block(
+    x: jnp.ndarray, axis: int, axis_name: str, sigma: float, spacing: float,
+    truncate: float,
+) -> jnp.ndarray:
+    """Gaussian along a SHARDED axis: halo exchange + rectangular band MXU
+    contraction. Bit-compatible with stencil.gaussian_smooth_axis."""
+    if sigma <= 0:
+        return x
+    sigma_vox = float(sigma) / float(spacing)
+    radius = stencil.gaussian_radius(sigma_vox, truncate)
+    n_local = x.shape[axis]
+    x_ext = halo_exchange(x, axis, radius, axis_name)
+    W = jnp.asarray(_band_matrix_ext(n_local, sigma_vox, radius), dtype=x.dtype)
+    x_moved = jnp.moveaxis(x_ext, axis, -1)
+    y = jnp.einsum(
+        "oi,...i->...o", W, x_moved,
+        preferred_element_type=x.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.moveaxis(y, -1, axis)
+
+
+# ---------------------------------------------------------------------------
+# finite differences on halo-extended blocks
+# ---------------------------------------------------------------------------
+
+Exts = Dict[int, int]  # axis -> current halo width carried by the array
+
+
+def _d(arr: jnp.ndarray, exts: Exts, axis: int, order: int, h: float
+       ) -> Tuple[jnp.ndarray, Exts]:
+    """Central difference along `axis`. Consumes the axis's halo level if it
+    has one; otherwise ZeroFluxNeumann edge padding (correct only for
+    unsharded axes / true edges — callers guarantee that)."""
+    if exts.get(axis, 0) > 0:
+        n_out = arr.shape[axis] - 2
+        fm = _slab(arr, axis, 0, n_out)
+        f0 = _slab(arr, axis, 1, n_out)
+        fp = _slab(arr, axis, 2, n_out)
+        hs = jnp.asarray(h, arr.dtype)
+        out = (fp - fm) / (2 * hs) if order == 1 else (fp - 2 * f0 + fm) / (hs * hs)
+        new = dict(exts)
+        new.pop(axis)
+        return out, new
+    return stencil.derivative(arr, axis, order, h), dict(exts)
+
+
+def _crop(arr: jnp.ndarray, exts: Exts) -> jnp.ndarray:
+    """Drop any remaining halo extensions, yielding the kept block."""
+    for axis, hh in exts.items():
+        if hh > 0:
+            arr = _slab(arr, axis, hh, arr.shape[axis] - 2 * hh)
+    return arr
+
+
+def _grad_hessian_block(
+    s: jnp.ndarray, sharded_axes: Dict[int, str], spacing: Sequence[float]
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(gradient magnitude, 6-channel Hessian) of a block, matching
+    stencil.gradient_magnitude / stencil.hessian globally."""
+    E = s
+    exts: Exts = {}
+    for axis, name in sharded_axes.items():
+        E = halo_exchange(E, axis, 1, name)
+        exts[axis] = 1
+
+    def D(arr, ex, axis, order):
+        return _d(arr, ex, axis, order, spacing[axis])
+
+    gs = []
+    for axis in range(3):
+        g, rem = D(E, exts, axis, 1)
+        gs.append(_crop(g, rem))
+    gm = jnp.sqrt(gs[0] * gs[0] + gs[1] * gs[1] + gs[2] * gs[2])
+
+    dxx, rem = D(E, exts, 0, 2)
+    dxx = _crop(dxx, rem)
+    dyy, rem = D(E, exts, 1, 2)
+    dyy = _crop(dyy, rem)
+    dzz, rem = D(E, exts, 2, 2)
+    dzz = _crop(dzz, rem)
+
+    dx, ex1 = D(E, exts, 0, 1)
+    dxy, rem = D(dx, ex1, 1, 1)
+    dxy = _crop(dxy, rem)
+    dxz, rem = D(dx, ex1, 2, 1)
+    dxz = _crop(dxz, rem)
+    dy, ex2 = D(E, exts, 1, 1)
+    dyz, rem = D(dy, ex2, 2, 1)
+    dyz = _crop(dyz, rem)
+
+    H = jnp.stack([dxx, dxy, dxz, dyy, dyz, dzz], axis=-1)
+    return gm, H
+
+
+def _features8_block(
+    img: jnp.ndarray,
+    msk: jnp.ndarray,
+    sigma: float,
+    spacing: Sequence[float],
+    truncate: float,
+    sharded_axes: Dict[int, str],
+) -> jnp.ndarray:
+    m = jnp.clip(msk, 0, 1)
+    mf = m.astype(img.dtype)
+    # smooth numerator and denominator together as 2 channels
+    stacked = jnp.stack([img * mf, mf], axis=-1)
+    for axis in range(3):
+        if axis in sharded_axes:
+            stacked = _smooth_axis_block(
+                stacked, axis, sharded_axes[axis], sigma, spacing[axis], truncate
+            )
+        else:
+            stacked = stencil.gaussian_smooth_axis(
+                stacked, axis, sigma, spacing[axis], truncate
+            )
+    s = stacked[..., 0] / stacked[..., 1]
+
+    gm, H = _grad_hessian_block(s, sharded_axes, spacing)
+    eig = eigenvalue_features(H)
+    feats = jnp.concatenate([s[..., None], gm[..., None], eig], axis=-1)
+    inside = (m != 0)[..., None]
+    return jnp.where(inside, feats, jnp.zeros((), img.dtype))
+
+
+# ---------------------------------------------------------------------------
+# public sharded ops
+# ---------------------------------------------------------------------------
+
+def _sharded_axis_map(mesh: Mesh) -> Dict[int, str]:
+    return {i: name for i, name in enumerate(mesh.axis_names)}
+
+
+def sharded_features8(
+    image: jax.Array,
+    mask: jax.Array,
+    sigma: float,
+    mesh: Mesh,
+    spacing: Sequence[float] = (1.0, 1.0, 1.0),
+    truncate: float = 4.5,
+) -> jax.Array:
+    """features8 over a block-sharded volume. Returns (X, Y, Z, 8) sharded
+    like the input."""
+    pspec = volume_pspec(mesh)
+    out_spec = P(*pspec, None)
+    saxes = _sharded_axis_map(mesh)
+
+    fn = shard_map(
+        functools.partial(
+            _features8_block,
+            sigma=float(sigma),
+            spacing=tuple(float(v) for v in spacing),
+            truncate=float(truncate),
+            sharded_axes=saxes,
+        ),
+        mesh=mesh,
+        in_specs=(pspec, pspec),
+        out_specs=out_spec,
+    )
+    return fn(image, mask)
+
+
+def sharded_hessian_eig(
+    image: jax.Array,
+    mesh: Mesh,
+    spacing: Sequence[float] = (1.0, 1.0, 1.0),
+) -> jax.Array:
+    """Hessian -> 6 eigen features of a sharded raw volume: the scaling
+    benchmark path (BASELINE.md configs). Returns (X, Y, Z, 6)."""
+    pspec = volume_pspec(mesh)
+    saxes = _sharded_axis_map(mesh)
+
+    def block(img):
+        _, H = _grad_hessian_block(img, saxes, tuple(float(v) for v in spacing))
+        return eigenvalue_features(H)
+
+    fn = shard_map(block, mesh=mesh, in_specs=(pspec,), out_specs=P(*pspec, None))
+    return fn(image)
+
+
+def sharded_multiscale_features(
+    image: jax.Array,
+    mask: jax.Array,
+    sigmas: Sequence[float],
+    mesh: Mesh,
+    spacing: Sequence[float] = (1.0, 1.0, 1.0),
+    truncate: float = 4.5,
+) -> jax.Array:
+    """Stacked scales, (X, Y, Z, n_scales, 8), computed fully on-mesh."""
+    per = [
+        sharded_features8(image, mask, float(s), mesh, spacing, truncate)
+        for s in sigmas
+    ]
+    return jnp.stack(per, axis=-2)

@@ -1,0 +1,229 @@
+"""End-to-end CLI tests: the full reference workflow driven through `ife`
+subcommands (the reference's only API surface, SURVEY.md §1 L5)."""
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from ife_tpu.cli.main import main
+from ife_tpu.core.volume import Volume, synthetic_ct, sphere_mask
+from ife_tpu.io import read_volume, write_volume, read_rois
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    vol = synthetic_ct((32, 32, 32), seed=7)
+    mask = sphere_mask((32, 32, 32), 0.42)
+    write_volume(str(d / "img.nii.gz"), vol)
+    write_volume(str(d / "mask.nii.gz"), mask)
+    return d
+
+
+def _run(*argv):
+    rc = main([str(a) for a in argv])
+    assert rc == 0, argv
+    return rc
+
+
+def test_extract_features_writes_8_channels_per_scale(workdir):
+    d = workdir
+    _run("extract-features", "-i", d / "img.nii.gz", "-m", d / "mask.nii.gz",
+         "-o", d / "feat", "-s", "1.0")
+    from ife_tpu.ops.features import FEATURE_NAMES
+
+    for name in FEATURE_NAMES:
+        path = d / f"feat_scale_1{name}.nii.gz"
+        assert path.exists(), path
+        v = read_volume(str(path))
+        assert v.shape == (32, 32, 32)
+
+
+def test_full_bag_workflow(workdir):
+    d = workdir
+    # pair list -> bin edges
+    with open(d / "pairs.txt", "w") as f:
+        f.write(f"{d/'img.nii.gz'},{d/'mask.nii.gz'}\n")
+    _run("determine-bin-edges", "-l", d / "pairs.txt", "-o", d / "spec.txt",
+         "-s", "1.0", "--bins", "4", "--seed", "0")
+    # rois
+    _run("generate-rois", "-m", d / "mask.nii.gz", "-o", d / "r.ROIInfo",
+         "-n", "4", "--size", "9,9,9", "--seed", "1")
+    rois = read_rois(str(d / "r.ROIInfo"))
+    assert len(rois) == 4
+    # bag from those rois
+    _run("make-bag", "-i", d / "img.nii.gz", "-m", d / "mask.nii.gz",
+         "-b", d / "spec.txt", "-o", d / "out", "-s", "1.0",
+         "-r", d / "r.ROIInfo")
+    bag = np.loadtxt(d / "out.bag", delimiter=",")
+    assert bag.shape == (4, 8 * 4)  # 8 features x 4 bins
+    # CSV text roundtrip costs ~1e-6 per element
+    np.testing.assert_allclose(bag.reshape(4, 8, 4).sum(-1), 1.0, atol=5e-6)
+
+
+def test_make_bag_dense_and_intensity(workdir):
+    d = workdir
+    with open(d / "ispec.txt", "w") as f:
+        f.write("-900,-600,-300\n")
+    _run("make-bag-only-intensity", "-i", d / "img.nii.gz",
+         "-m", d / "mask.nii.gz", "-b", d / "ispec.txt", "-o", d / "ib",
+         "-n", "3", "--roi-size", "9,9,9", "--seed", "2")
+    bag = np.loadtxt(d / "ib.bag", delimiter=",")
+    assert bag.shape == (3, 4)
+    with open(d / "fspec.txt", "w") as f:
+        for k in range(8):  # 8 features x 1 scale, 3 edges each
+            f.write("-0.5,0.0,0.5\n")
+    _run("make-bag-dense", "-i", d / "img.nii.gz", "-m", d / "mask.nii.gz",
+         "-b", d / "fspec.txt", "-o", d / "db", "-s", "1.0",
+         "--roi-size", "31,31,31")
+    dbag = np.loadtxt(d / "db.bag", delimiter=",")
+    assert dbag.ndim == 2 and dbag.shape[1] == 8 * 4
+
+
+def test_roi_label_and_sample_tools(workdir):
+    d = workdir
+    _run("sample-rois", "-i", d / "img.nii.gz", "-r", d / "r.ROIInfo",
+         "-o", d / "samples.csv")
+    m = np.loadtxt(d / "samples.csv", delimiter=",")
+    assert m.shape == (4, 9 * 9 * 9)
+    _run("extract-labels", "-l", d / "mask.nii.gz", "-r", d / "r.ROIInfo",
+         "-o", d / "labels.txt")
+    labels = [int(x) for x in open(d / "labels.txt").read().split()]
+    assert len(labels) == 4
+
+
+def test_image_utility_tools(workdir):
+    d = workdir
+    _run("masked-image-filter", "-i", d / "img.nii.gz", "-m", d / "mask.nii.gz",
+         "-o", d / "masked.nii.gz", "--outside", "-1000")
+    mv = read_volume(str(d / "masked.nii.gz"))
+    mask = read_volume(str(d / "mask.nii.gz"))
+    assert np.all(np.asarray(mv.data)[np.asarray(mask.data) == 0] == -1000)
+
+    _run("extract-masked-region", "-m", d / "mask.nii.gz",
+         "-o", d / "relabel.nii.gz", "--include", "1", "--inside", "7")
+    rv = read_volume(str(d / "relabel.nii.gz"))
+    assert set(np.unique(np.asarray(rv.data))) <= {0, 7}
+
+    _run("extract-bounding-box", "-i", d / "img.nii.gz",
+         "-m", d / "mask.nii.gz", "-o", d / "bbox.nii.gz")
+    bv = read_volume(str(d / "bbox.nii.gz"))
+    assert all(s <= 32 for s in bv.shape) and all(s > 0 for s in bv.shape)
+
+    _run("extract-slices", "-i", d / "img.nii.gz", "-o", d / "slice",
+         "--axis", "2", "--fractions", "0.5")
+    assert (d / "slice_16.nii.gz").exists()
+
+    _run("pad-image", "-i", d / "slice_16.nii.gz", "-o", d / "padded.nii.gz",
+         "--size", "48,48")
+    pv = read_volume(str(d / "padded.nii.gz"))
+    assert pv.shape[:2] == (48, 48)
+
+    _run("extract-window", "-i", d / "slice_16.nii.gz", "-o", d / "win.nii.gz",
+         "--out-spacing", "0.5")
+    wv = read_volume(str(d / "win.nii.gz"))
+    assert np.asarray(wv.data).max() <= 255
+
+    _run("resample", "-s", d / "img.nii.gz", "-t", d / "bbox.nii.gz",
+         "-o", d / "resampled.nii.gz")
+    rsv = read_volume(str(d / "resampled.nii.gz"))
+    assert rsv.shape == bv.shape
+
+
+def test_converters_and_browser(workdir, capsys):
+    d = workdir
+    from ife_tpu.io import write_hr2, write_octave
+
+    vol = read_volume(str(d / "img.nii.gz"))
+    write_hr2(str(d / "v.hr2"), vol)
+    _run("convert-hr2", d / "v.hr2", d / "from_hr2.nii.gz")
+    hv = read_volume(str(d / "from_hr2.nii.gz"))
+    np.testing.assert_allclose(np.asarray(hv.data), np.asarray(vol.data))
+
+    write_octave(str(d / "v.mat"), vol)
+    _run("convert-from-octave", d / "v.mat", d / "from_oct.nii.gz")
+    ov = read_volume(str(d / "from_oct.nii.gz"))
+    np.testing.assert_allclose(np.asarray(ov.data), np.asarray(vol.data))
+
+    _run("image-browser", "-i", d / "img.nii.gz", "--cmd", "info")
+    out = capsys.readouterr().out
+    assert "shape: (32, 32, 32)" in out
+
+
+def test_gradient_and_normalized_convolution(workdir):
+    d = workdir
+    _run("gradient-features", "-i", d / "img.nii.gz", "-m", d / "mask.nii.gz",
+         "-o", d / "gm.nii.gz")
+    gv = read_volume(str(d / "gm.nii.gz"))
+    assert np.all(np.asarray(gv.data) >= 0)
+
+    _run("masked-normalized-convolution", "-i", d / "img.nii.gz",
+         "-c", d / "mask.nii.gz", "-o", str(d / "nc"), "-s", "1.5",
+         "--mask-output")
+    nv = read_volume(str(d / "ncscale_1.5.nii.gz"))
+    assert np.all(np.isfinite(np.asarray(nv.data)))
+
+
+def test_cli_error_paths(workdir, capsys):
+    d = workdir
+    rc = main(["make-bag", "-i", str(d / "img.nii.gz"),
+               "-m", str(d / "mask.nii.gz"), "-b", str(d / "missing.txt"),
+               "-o", str(d / "x"), "-s", "1.0"])
+    assert rc == 1
+    assert "error" in capsys.readouterr().err
+
+
+# ---------------------------------------------------------------------------
+# minimal DICOM: synthesize explicit-VR-LE files, convert, check naming
+# ---------------------------------------------------------------------------
+
+def _dicom_bytes(z, uid=b"1.2.3.4", rows=4, cols=4):
+    def elem(group, el, vr, value: bytes):
+        if len(value) % 2:
+            value += b" " if vr != b"OW" else b"\x00"
+        if vr in (b"OB", b"OW", b"SQ", b"UT", b"UN", b"OF"):
+            return struct.pack("<HH2sHI", group, el, vr, 0, len(value)) + value
+        return struct.pack("<HH2sH", group, el, vr, len(value)) + value
+
+    meta = elem(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.1")
+    pix = (np.arange(rows * cols, dtype=np.int16) + z * 100).tobytes()
+    body = b"".join([
+        elem(0x0008, 0x0020, b"DA", b"20260817"),
+        elem(0x0010, 0x0020, b"LO", b"PAT1"),
+        elem(0x0018, 0x0050, b"DS", b"2.5"),
+        elem(0x0018, 0x1210, b"SH", b"B30f"),
+        elem(0x0020, 0x000E, b"UI", uid),
+        elem(0x0020, 0x0032, b"DS", f"0\\0\\{z * 2.5:g}".encode()),
+        elem(0x0028, 0x0010, b"US", struct.pack("<H", rows)),
+        elem(0x0028, 0x0011, b"US", struct.pack("<H", cols)),
+        elem(0x0028, 0x0030, b"DS", b"0.7\\0.7"),
+        elem(0x0028, 0x0100, b"US", struct.pack("<H", 16)),
+        elem(0x0028, 0x0103, b"US", struct.pack("<H", 1)),
+        elem(0x0028, 0x1052, b"DS", b"-1024"),
+        elem(0x0028, 0x1053, b"DS", b"1"),
+        elem(0x7FE0, 0x0010, b"OW", pix),
+    ])
+    return b"\x00" * 128 + b"DICM" + meta + body
+
+
+def test_convert_dicom(workdir):
+    d = workdir
+    dcm = d / "dicom"
+    os.makedirs(dcm, exist_ok=True)
+    for z in range(3):
+        with open(dcm / f"slice{z}.dcm", "wb") as f:
+            f.write(_dicom_bytes(z))
+    _run("convert-dicom", "-d", dcm, "-o", d / "dcm_out")
+    outs = os.listdir(d / "dcm_out")
+    assert len(outs) == 1
+    assert outs[0] == "PAT1_20260817_B30f_2.5.nii.gz"
+    v = read_volume(str(d / "dcm_out" / outs[0]))
+    assert v.shape == (4, 4, 3)
+    # NIfTI pixdim is float32; compare approximately
+    np.testing.assert_allclose(v.spacing, (0.7, 0.7, 2.5), rtol=1e-6)
+    # rescale applied: first voxel of slice 0 = 0*1 + (-1024)
+    data = np.asarray(v.data)
+    assert data[0, 0, 0] == -1024.0
+    # slices ordered by z: slice 2's values offset by +200
+    assert data[0, 0, 2] == -1024.0 + 200.0
