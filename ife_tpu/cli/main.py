@@ -32,6 +32,8 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
     try:
         return args._run(args) or 0
+    except BrokenPipeError:
+        return 0  # e.g. `ife image-browser ... | head`
     except Exception as e:  # context-rich stderr + failure exit, like the
         # reference tools' try/catch around Update() (MakeBag.cxx:408-439)
         print(f"ife {args.command}: error: {e}", file=sys.stderr)

@@ -73,7 +73,20 @@ def _write_field_length(n: int) -> bytes:
     return out
 
 
-def read_hr2(path: str) -> Volume:
+def read_hr2(path: str, native: bool = True) -> Volume:
+    if native:
+        # native fast path (threaded zlib in C++, ife_tpu/native_lib.py);
+        # silently falls back when native/libife_native.so isn't built
+        from ife_tpu import native_lib
+
+        res = None
+        try:
+            res = native_lib.hr2_read_native(path)
+        except ValueError:
+            res = None  # let the pure-Python path produce the error message
+        if res is not None:
+            data, spacing, origin = res
+            return Volume(data, spacing=spacing, origin=origin)
     with open(path, "rb") as f:
         magic = f.read(3)
         if not (magic[:2] == b"HR" and magic[2:3] != b"3"):

@@ -56,7 +56,28 @@ def _ordered_by_abs_desc_diag(a11, a22, a33):
     return e0, e1, e2
 
 
-def eigenvalues_sym3x3(A: jnp.ndarray) -> jnp.ndarray:
+def _cos_third_arccos(r: jnp.ndarray) -> jnp.ndarray:
+    """cos(arccos(r)/3) without trig: Newton on the triple-angle identity
+    4c^3 - 3c = m for m = |r| (3 iterations reach machine epsilon; the root
+    lies in [cos(pi/6), 1] where the cubic is well-conditioned), then the
+    angle-complement identity for r < 0 (where the direct cubic has a
+    near-double root and Newton degrades). Pallas TPU has no acos lowering,
+    and mul/add/sqrt beat VPU transcendentals anyway.
+    """
+    dt = r.dtype
+    m = jnp.abs(r)
+    c = jnp.asarray(0.866, dt) + jnp.asarray(0.134, dt) * m
+    for _ in range(3):
+        c = c - (4 * c * c * c - 3 * c - m) / (12 * c * c - 3)
+    # r < 0: arccos(r) = pi - arccos(m);
+    # cos((pi - psi)/3) = c/2 + (sqrt(3)/2) sqrt(1 - c^2), psi = arccos(m)
+    half = jnp.asarray(0.5, dt)
+    s32 = jnp.asarray(np.sqrt(3.0) / 2.0, dt)
+    s = jnp.sqrt(jnp.maximum(1 - c * c, jnp.asarray(0, dt)))
+    return jnp.where(r >= 0, c, half * c + s32 * s)
+
+
+def eigenvalues_sym3x3(A: jnp.ndarray, use_trig: bool = True) -> jnp.ndarray:
     """Eigenvalues of symmetric 3x3 matrices, |e3| <= |e2| <= |e1| order.
 
     Args:
@@ -89,11 +110,22 @@ def eigenvalues_sym3x3(A: jnp.ndarray) -> jnp.ndarray:
         - b12 * b12 * b33
     ) / jnp.asarray(2, dt)
 
-    # acos(clip(r)) reproduces the reference's r<=-1 -> pi/3, r>=1 -> 0 guards.
-    phi = jnp.arccos(jnp.clip(r, jnp.asarray(-1, dt), jnp.asarray(1, dt))) / three
-
-    g0 = q + 2 * p * jnp.cos(phi)
-    g2 = q + 2 * p * jnp.cos(phi + pi * jnp.asarray(2.0 / 3.0, dt))
+    # clip(r) reproduces the reference's r<=-1 -> phi=pi/3, r>=1 -> 0 guards.
+    rc = jnp.clip(r, jnp.asarray(-1, dt), jnp.asarray(1, dt))
+    if use_trig:
+        phi = jnp.arccos(rc) / three
+        cphi = jnp.cos(phi)
+        cphi2 = jnp.cos(phi + pi * jnp.asarray(2.0 / 3.0, dt))
+    else:
+        # trig-free path (Pallas TPU; identical to ~1e-15):
+        # cos(phi + 2pi/3) = -cphi/2 - (sqrt(3)/2) sin(phi)
+        cphi = _cos_third_arccos(rc)
+        sphi = jnp.sqrt(jnp.maximum(1 - cphi * cphi, jnp.asarray(0, dt)))
+        cphi2 = -jnp.asarray(0.5, dt) * cphi - jnp.asarray(
+            np.sqrt(3.0) / 2.0, dt
+        ) * sphi
+    g0 = q + 2 * p * cphi
+    g2 = q + 2 * p * cphi2
     g1 = 3 * q - g0 - g2  # trace identity
 
     # Reorder to |e3| <= |e2| <= |e1| with the reference's two swaps.
@@ -114,7 +146,7 @@ def eigenvalues_sym3x3(A: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([e0, e1, e2], axis=-1)
 
 
-def eigenvalue_features(A: jnp.ndarray) -> jnp.ndarray:
+def eigenvalue_features(A: jnp.ndarray, use_trig: bool = True) -> jnp.ndarray:
     """Six eigenvalue-derived features per matrix.
 
     [e1, e2, e3, sum(e), prod(e), frobenius] — the reference's
@@ -126,7 +158,7 @@ def eigenvalue_features(A: jnp.ndarray) -> jnp.ndarray:
     Returns:
       array (..., 6).
     """
-    ev = eigenvalues_sym3x3(A)
+    ev = eigenvalues_sym3x3(A, use_trig=use_trig)
     e0, e1, e2 = ev[..., 0], ev[..., 1], ev[..., 2]
     s = e0 + e1 + e2
     prod = e0 * e1 * e2

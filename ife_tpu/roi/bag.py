@@ -67,19 +67,35 @@ def make_bag(
 
     roi_masks = [mask_np[r.slices()] != 0 for r in rois]
 
+    from ife_tpu.native_lib import histogram_channels_native
+
     for i, sigma in enumerate(sigmas):
         feats = np.asarray(
             features8(img_dev, mask_dev, float(sigma), tuple(spacing))
+        )
+        edges_block = np.stack(
+            [np.asarray(hist_edges[i * NUM_FEATURES + k], dtype=np.float64)
+             for k in range(NUM_FEATURES)]
         )
         for j, r in enumerate(rois):
             crop = feats[r.slices()]
             inside = roi_masks[j]
             vox = crop[inside]  # (n_inside, 8)
-            for k in range(NUM_FEATURES):
-                hist_idx = i * NUM_FEATURES + k
-                freqs = _roi_frequencies(vox[:, k], np.asarray(hist_edges[hist_idx]))
-                col = hist_idx * hist_size
-                bag[j, col : col + hist_size] = freqs
+            counts = (
+                histogram_channels_native(vox, edges_block)
+                if vox.dtype == np.float32 else None
+            )
+            col0 = i * NUM_FEATURES * hist_size
+            if counts is not None:  # threaded C++ binning (MakeBag hot loop)
+                total = vox.shape[0]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    freqs = counts.astype(np.float64) / np.float64(total)
+                bag[j, col0 : col0 + NUM_FEATURES * hist_size] = freqs.reshape(-1)
+            else:
+                for k in range(NUM_FEATURES):
+                    freqs = _roi_frequencies(vox[:, k], edges_block[k])
+                    col = col0 + k * hist_size
+                    bag[j, col : col + hist_size] = freqs
     return bag
 
 

@@ -83,6 +83,16 @@ class DenseHistogram:
     def insert_many(self, values, weights=None) -> None:
         """Vectorized bulk insert (weights must be nonneg ints if given)."""
         v = np.asarray(values).reshape(-1)
+        # f32 only: the C path bins float32, which could land f64 values in
+        # a neighbor bin right at an edge
+        if weights is None and v.size > (1 << 16) and v.dtype == np.float32:
+            # threaded C++ binning when built (ife_tpu/native_lib.py)
+            from ife_tpu.native_lib import histogram_native
+
+            counts = histogram_native(v, self._edges)
+            if counts is not None:
+                self._counts += counts
+                return
         idx = np.searchsorted(self._edges, v, side="left")
         if weights is None:
             binc = np.bincount(idx, minlength=self._counts.size)

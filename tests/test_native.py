@@ -1,0 +1,89 @@
+"""Native C++ library (native/libife_native.so): build + parity with the
+pure-Python paths. Skipped when no toolchain can build it."""
+import numpy as np
+import pytest
+
+from ife_tpu import native_lib as N
+from ife_tpu.core.volume import Volume, synthetic_ct
+from ife_tpu.io.hr2 import read_hr2, write_hr2
+
+pytestmark = pytest.mark.skipif(
+    not N.build(), reason="native toolchain unavailable"
+)
+
+
+def test_histogram_matches_numpy():
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=300_000).astype(np.float32)
+    edges = np.linspace(-3, 3, 17)
+    mask = (rng.random(v.size) > 0.4).astype(np.uint8)
+    got = N.histogram_native(v, edges, mask)
+    want = np.bincount(
+        np.searchsorted(edges, v[mask != 0], side="left"), minlength=18
+    )
+    np.testing.assert_array_equal(got, want)
+    assert got.sum() == int(mask.sum())
+
+
+def test_histogram_channels_matches_numpy():
+    rng = np.random.default_rng(1)
+    V = rng.normal(size=(100_000, 8)).astype(np.float32)
+    E = np.sort(rng.normal(size=(8, 5)), axis=1)
+    got = N.histogram_channels_native(V, E)
+    for h in range(8):
+        want = np.bincount(
+            np.searchsorted(E[h], V[:, h], side="left"), minlength=6
+        )
+        np.testing.assert_array_equal(got[h], want)
+
+
+def test_hr2_native_python_cross_compat(tmp_path):
+    vol = Volume(
+        synthetic_ct((24, 20, 16), seed=1).data,
+        spacing=(0.7, 0.8, 1.25), origin=(1.0, 2.0, 3.0),
+    )
+    # native writes -> python reads
+    assert N.hr2_write_native(
+        str(tmp_path / "n.hr2"), vol.numpy(), vol.spacing, vol.origin
+    )
+    back = read_hr2(str(tmp_path / "n.hr2"), native=False)
+    np.testing.assert_allclose(back.numpy(), vol.numpy())
+    assert back.spacing == vol.spacing and back.origin == vol.origin
+    # python writes -> native reads
+    write_hr2(str(tmp_path / "p.hr2"), vol)
+    data, spacing, origin = N.hr2_read_native(str(tmp_path / "p.hr2"))
+    np.testing.assert_allclose(data, vol.numpy())
+    assert spacing == vol.spacing and origin == vol.origin
+    # and the default read path uses the native reader transparently
+    via_default = read_hr2(str(tmp_path / "p.hr2"))
+    np.testing.assert_allclose(via_default.numpy(), vol.numpy())
+
+
+def test_hr2_native_char_pixels(tmp_path):
+    data = np.arange(-60, 60, dtype=np.float32).reshape(5, 4, 6)
+    assert N.hr2_write_native(
+        str(tmp_path / "c.hr2"), data, (1, 1, 1), (0, 0, 0), pixel_type="char"
+    )
+    back, _, _ = N.hr2_read_native(str(tmp_path / "c.hr2"))
+    np.testing.assert_allclose(back, data)
+
+
+def test_hr2_native_error_paths(tmp_path):
+    p = tmp_path / "bad.hr2"
+    p.write_bytes(b"HR3garbage")
+    with pytest.raises(ValueError, match="not an HR2"):
+        N.hr2_read_native(str(p))
+    with pytest.raises(ValueError, match="cannot open"):
+        N.hr2_read_native(str(tmp_path / "missing.hr2"))
+
+
+def test_dense_histogram_native_path_matches():
+    from ife_tpu.stats.histogram import DenseHistogram
+
+    rng = np.random.default_rng(2)
+    v = rng.normal(size=200_000).astype(np.float32)  # > 1<<16: native path
+    edges = np.linspace(-2, 2, 9)
+    h1 = DenseHistogram(edges)
+    h1.insert_many(v)
+    want = np.bincount(np.searchsorted(edges, v, side="left"), minlength=10)
+    np.testing.assert_array_equal(h1.get_counts(), want)
