@@ -601,6 +601,35 @@ def run_convert_dicom(args):
 # misc
 # ---------------------------------------------------------------------------
 
+def conf_merge_bags(p):
+    p.add_argument("-b", "--bags", nargs="+", required=True,
+                   help="per-image .bag CSV files")
+    p.add_argument("-o", "--out", required=True, help="output .npz")
+    p.add_argument("--bag-labels", default=None,
+                   help="CSV: one label row per bag")
+    p.add_argument("--instance-labels", nargs="+", default=None,
+                   help="per-bag CSVs of instance labels")
+
+
+def run_merge_bags(args):
+    """Fixed MakeBaggedDataset capability (reference
+    tools/MakeBaggedDataset.cxx:73-149, dead code there)."""
+    from ife_tpu.io.text import read_text_matrix
+    from ife_tpu.roi.bagged_dataset import merge_bags, save_bagged_dataset
+
+    bag_labels = (
+        read_text_matrix(args.bag_labels) if args.bag_labels else None
+    )
+    if args.instance_labels and len(args.instance_labels) != len(args.bags):
+        raise ValueError("need one instance-label file per bag")
+    data = merge_bags(args.bags, bag_labels, args.instance_labels)
+    save_bagged_dataset(args.out, data)
+    _progress(
+        f"wrote {data['instances'].shape[0]} instances in "
+        f"{len(args.bags)} bags -> {args.out}"
+    )
+
+
 def conf_expected_distance(p):
     p.add_argument("-m", "--mask", required=True)
     p.add_argument("-p", "--prob", required=True,
@@ -735,6 +764,9 @@ REGISTRY: Dict[str, Tuple] = {
                             "convert Octave ASCII matrix (ConvertFromOctave)"),
     "convert-dicom": (conf_convert_dicom, run_convert_dicom,
                       "convert DICOM series directory (ConvertDICOM)"),
+    "merge-bags": (conf_merge_bags, run_merge_bags,
+                   "merge per-image bags + labels into a bagged dataset "
+                   "(MakeBaggedDataset, fixed)"),
     "expected-distance": (conf_expected_distance, run_expected_distance,
                           "E[signed distance x probability] over a mask "
                           "(CalculateExpectedDistanceFromCenterToInterestPoints)"),

@@ -7,4 +7,7 @@ one HBM pass per block: read a halo-extended slab into VMEM, compute all
 Hessian channels and the closed-form eigen features in registers, write the
 feature channels — the memory-bound speed-of-light path.
 """
-from ife_tpu.kernels.fused import fused_hessian_eig  # noqa: F401
+from ife_tpu.kernels.fused import (  # noqa: F401
+    fused_features8,
+    fused_hessian_eig,
+)

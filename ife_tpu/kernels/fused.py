@@ -6,27 +6,28 @@ materializing dx, dy and the 6 Hessian channels in HBM (~6 extra
 volume-sized round trips), each grid step DMAs one halo-extended (BX+2,
 BY+2, Z) slab into VMEM, computes all six second derivatives (central
 differences, cascaded cross terms — semantics of reference
-Hessian3DImageFilter.hxx:19-59) and the closed-form trigonometric
-eigenvalues (reference Symmetric3x3EigenvalueSolver.h:33-132, same select
-network as ife_tpu.ops.eigen) on the VPU, and writes the 6 feature
-channels. HBM traffic = read X*Y*Z + write 6*X*Y*Z, the lower bound.
+Hessian3DImageFilter.hxx:19-59) and the closed-form eigenvalues (reference
+Symmetric3x3EigenvalueSolver.h:33-132; trig-free Newton trisection since
+Mosaic has no acos) on the VPU, and writes the 6 feature channels. HBM
+traffic = read X*Y*Z + write 6*X*Y*Z — the memory-bound lower bound.
 
-Output is channel-FIRST (6, X, Y, Z): the channel axis must not land on
-the TPU lane dimension, and downstream consumers (histograms, masking)
-read whole channels contiguously.
+Mosaic constraints shaping the design (found by bisection): no 4D blocks
+with a stacked channel axis, no jnp.stack/moveaxis across the lane axis
+inside the kernel — so features are SIX separate (X, Y, Z) outputs, written
+channel-wise. The public wrapper stacks them into the channel-last (…, 6)
+layout only when asked.
 """
 from __future__ import annotations
 
 import functools
 from typing import Sequence
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ife_tpu.ops.eigen import eigenvalue_features
+from ife_tpu.ops.eigen import eigenvalue_feature_channels
 
 
 def _clamp_shift_z(s: jnp.ndarray, off: int) -> jnp.ndarray:
@@ -38,22 +39,26 @@ def _clamp_shift_z(s: jnp.ndarray, off: int) -> jnp.ndarray:
     raise ValueError(off)
 
 
-def _kernel(x_hbm, out_ref, scratch, sem, *, bx, by, hx, hy, hz):
+def _kernel(x_hbm, o0, o1, o2, o3, o4, o5, scratch, sem, *, bx, by, wy, hx, hy, hz):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
+    # DMA window: (bx+2, wy, Z) where wy = by+2 rounded up to the f32
+    # sublane multiple (8) — an unaligned sublane extent in a manual DMA
+    # faults the TPU worker (found the hard way); the input is pre-padded
+    # so the widened window never reads out of bounds.
     dma = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(i * bx, bx + 2), pl.ds(j * by, by + 2), :],
+        x_hbm.at[pl.ds(i * bx, bx + 2), pl.ds(j * by, wy), :],
         scratch,
         sem,
     )
     dma.start()
     dma.wait()
 
-    s = scratch[:]  # (bx+2, by+2, Z)
+    s = scratch[:, : by + 2, :]  # (bx+2, by+2, Z)
     dt = s.dtype
-    # divide (not multiply-by-reciprocal): bitwise-identical rounding with
-    # ops.stencil.derivative, so fused and XLA paths agree to the last ulp
+    # divide (not multiply-by-reciprocal): identical rounding to
+    # ops.stencil.derivative, so fused and XLA paths agree to the ulp
     h2x = jnp.asarray(2 * hx, dt)
     h2y = jnp.asarray(2 * hy, dt)
     h2z = jnp.asarray(2 * hz, dt)
@@ -74,11 +79,65 @@ def _kernel(x_hbm, out_ref, scratch, sem, *, bx, by, hx, hy, hz):
     dy = (s[1:-1, 2:, :] - s[1:-1, :-2, :]) / h2y    # (bx, by, Z)
     dyz = (_clamp_shift_z(dy, 1) - _clamp_shift_z(dy, -1)) / h2z
 
-    H = jnp.stack([dxx, dxy, dxz, dyy, dyz, dzz], axis=-1)
-    # use_trig=False: Pallas TPU has no acos lowering; the Newton trisection
-    # path is mul/add/sqrt only and matches trig to ~1e-15
-    feats = eigenvalue_features(H, use_trig=False)
-    out_ref[:] = jnp.moveaxis(feats, -1, 0)
+    # channel order [Dxx, Dxy, Dxz, Dyy, Dyz, Dzz] == packed [A11..A33];
+    # use_trig=False: Newton trisection (no acos in Mosaic)
+    feats = eigenvalue_feature_channels(
+        dxx, dxy, dxz, dyy, dyz, dzz, use_trig=False
+    )
+    for ref, val in zip((o0, o1, o2, o3, o4, o5), feats):
+        ref[:] = val
+
+
+def _features8_kernel(s_hbm, m_ref, o0, o1, o2, o3, o4, o5, o6, o7,
+                      scratch, sem, *, bx, by, wy, hx, hy, hz):
+    """Post-smoothing features8 pass: smoothed volume (halo window) + mask
+    block -> the 8 masked feature channels of reference
+    ImageToEmphysemaFeaturesFilter.hxx:14-55, one VMEM round trip."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    dma = pltpu.make_async_copy(
+        s_hbm.at[pl.ds(i * bx, bx + 2), pl.ds(j * by, wy), :], scratch, sem
+    )
+    dma.start()
+    dma.wait()
+
+    s = scratch[:, : by + 2, :]
+    dt = s.dtype
+    h2x = jnp.asarray(2 * hx, dt)
+    h2y = jnp.asarray(2 * hy, dt)
+    h2z = jnp.asarray(2 * hz, dt)
+    hx2 = jnp.asarray(hx, dt) * jnp.asarray(hx, dt)
+    hy2 = jnp.asarray(hy, dt) * jnp.asarray(hy, dt)
+    hz2 = jnp.asarray(hz, dt) * jnp.asarray(hz, dt)
+
+    core = s[1:-1, 1:-1, :]
+    dxx = (s[2:, 1:-1, :] - 2 * core + s[:-2, 1:-1, :]) / hx2
+    dyy = (s[1:-1, 2:, :] - 2 * core + s[1:-1, :-2, :]) / hy2
+    dzz = (_clamp_shift_z(core, 1) - 2 * core + _clamp_shift_z(core, -1)) / hz2
+    dx = (s[2:, :, :] - s[:-2, :, :]) / h2x
+    dxy = (dx[:, 2:, :] - dx[:, :-2, :]) / h2y
+    dx_c = dx[:, 1:-1, :]
+    dxz = (_clamp_shift_z(dx_c, 1) - _clamp_shift_z(dx_c, -1)) / h2z
+    dy = (s[1:-1, 2:, :] - s[1:-1, :-2, :]) / h2y
+    dyz = (_clamp_shift_z(dy, 1) - _clamp_shift_z(dy, -1)) / h2z
+
+    gz = (_clamp_shift_z(core, 1) - _clamp_shift_z(core, -1)) / h2z
+    gm = jnp.sqrt(dx_c * dx_c + dy * dy + gz * gz)
+
+    feats = eigenvalue_feature_channels(
+        dxx, dxy, dxz, dyy, dyz, dzz, use_trig=False
+    )
+    inside = m_ref[:] != 0
+    zero = jnp.asarray(0, dt)
+    # channel order: GaussianBlur, GradientMagnitude, eig features
+    # (tools/DetermineHistogramBinEdges...cxx:270); masked like the 8
+    # MaskImageFilters (ImageToEmphysemaFeaturesFilter.hxx:44-54); the
+    # nan/inf of the no-epsilon normalized-convolution divide lives only
+    # outside the mask and is zeroed here
+    o0[:] = jnp.where(inside, core, zero)
+    o1[:] = jnp.where(inside, gm, zero)
+    for ref, val in zip((o2, o3, o4, o5, o6, o7), feats):
+        ref[:] = jnp.where(inside, val, zero)
 
 
 def _pick_block(n: int, target: int) -> int:
@@ -90,49 +149,122 @@ def _pick_block(n: int, target: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("spacing", "block", "interpret")
+    jax.jit, static_argnames=("spacing", "block", "interpret", "stack")
 )
 def fused_hessian_eig(
     x: jax.Array,
     spacing: Sequence[float] = (1.0, 1.0, 1.0),
-    block: int = 8,
+    block: int = 16,
     interpret: bool = False,
-) -> jax.Array:
-    """Six eigen features of the Hessian, one fused pass.
+    stack: bool = True,
+):
+    """Six eigen features of the Hessian in one fused HBM pass.
 
     Args:
-      x: (X, Y, Z) float32 volume.
+      x: (X, Y, Z) float volume.
       spacing: physical voxel spacing (hx, hy, hz).
-      block: target block edge for the X/Y grid.
+      block: target block edge for the X/Y grid (divisor of X/Y is chosen).
       interpret: run the Pallas interpreter (CPU testing).
+      stack: True -> single (6, X, Y, Z) array (channel-first; cheap
+        device-side stack); False -> tuple of six (X, Y, Z) arrays.
 
     Returns:
-      (6, X, Y, Z): [e1, e2, e3, LoG, GaussianCurvature, FrobeniusNorm],
-      eigenvalues ordered |e3| <= |e2| <= |e1| — channel-first layout
-      (see module docstring); jnp.moveaxis(out, 0, -1) matches
+      [e1, e2, e3, LoG, GaussianCurvature, FrobeniusNorm], eigenvalues
+      ordered |e3| <= |e2| <= |e1|. jnp.moveaxis(out, 0, -1) matches
       eigenvalue_features(hessian(x)).
     """
     X, Y, Z = x.shape
     bx = _pick_block(X, block)
     by = _pick_block(Y, block)
+    wy = -(-(by + 2) // 8) * 8  # sublane-aligned DMA window extent
     hx, hy, hz = (float(s) for s in spacing)
 
     # pre-pad with edge replication so interior windows never clamp and true
-    # edges get ZeroFluxNeumann — one cheap fused pad pass
-    xp = jnp.pad(x, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    # edges get ZeroFluxNeumann — one cheap fused pad pass. The y hi-pad is
+    # widened so the aligned DMA window stays in bounds; the slack voxels
+    # never reach an output.
+    xp = jnp.pad(x, ((1, 1), (1, wy - by - 1), (0, 0)), mode="edge")
 
-    kernel = functools.partial(_kernel, bx=bx, by=by, hx=hx, hy=hy, hz=hz)
-    return pl.pallas_call(
+    kernel = functools.partial(
+        _kernel, bx=bx, by=by, wy=wy, hx=hx, hy=hy, hz=hz
+    )
+    out_spec = pl.BlockSpec(
+        (bx, by, Z), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+    )
+    outs = pl.pallas_call(
         kernel,
         grid=(X // bx, Y // by),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(
-            (6, bx, by, Z), lambda i, j: (0, i, j, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((6, X, Y, Z), x.dtype),
+        out_specs=[out_spec] * 6,
+        out_shape=[jax.ShapeDtypeStruct((X, Y, Z), x.dtype)] * 6,
         scratch_shapes=[
-            pltpu.VMEM((bx + 2, by + 2, Z), x.dtype),
+            pltpu.VMEM((bx + 2, wy, Z), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(xp)
+    if stack:
+        return jnp.stack(outs, axis=0)
+    return tuple(outs)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sigma", "spacing", "truncate", "block",
+                              "interpret", "stack")
+)
+def fused_features8(
+    image: jax.Array,
+    mask: jax.Array,
+    sigma: float,
+    spacing: Sequence[float] = (1.0, 1.0, 1.0),
+    truncate: float = 4.5,
+    block: int = 16,
+    interpret: bool = False,
+    stack: bool = True,
+):
+    """features8 with the post-smoothing chain fused into one Pallas pass.
+
+    Smoothing (normalized Gaussian convolution) stays on the MXU via the
+    banded einsum (already one fused XLA op per axis); everything after —
+    gradient magnitude, 6-channel Hessian, eigen features, masking — is a
+    single kernel instead of ~10 materialized XLA passes.
+
+    Returns (8, X, Y, Z) channel-first when stack=True (see module
+    docstring), else a tuple of 8 arrays. jnp.moveaxis(out, 0, -1) matches
+    ops.features.features8.
+    """
+    from ife_tpu.ops.stencil import normalized_gaussian_convolution
+
+    m = jnp.clip(mask, 0, 1)
+    s = normalized_gaussian_convolution(
+        image, m.astype(image.dtype), sigma, spacing, truncate
+    )
+
+    X, Y, Z = s.shape
+    bx = _pick_block(X, block)
+    by = _pick_block(Y, block)
+    wy = -(-(by + 2) // 8) * 8
+    hx, hy, hz = (float(v) for v in spacing)
+    sp = jnp.pad(s, ((1, 1), (1, wy - by - 1), (0, 0)), mode="edge")
+
+    kernel = functools.partial(
+        _features8_kernel, bx=bx, by=by, wy=wy, hx=hx, hy=hy, hz=hz
+    )
+    blk_spec = pl.BlockSpec(
+        (bx, by, Z), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(X // bx, Y // by),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY), blk_spec],
+        out_specs=[blk_spec] * 8,
+        out_shape=[jax.ShapeDtypeStruct((X, Y, Z), s.dtype)] * 8,
+        scratch_shapes=[
+            pltpu.VMEM((bx + 2, wy, Z), s.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(sp, m)
+    if stack:
+        return jnp.stack(outs, axis=0)
+    return tuple(outs)

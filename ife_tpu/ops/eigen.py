@@ -77,17 +77,11 @@ def _cos_third_arccos(r: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(r >= 0, c, half * c + s32 * s)
 
 
-def eigenvalues_sym3x3(A: jnp.ndarray, use_trig: bool = True) -> jnp.ndarray:
-    """Eigenvalues of symmetric 3x3 matrices, |e3| <= |e2| <= |e1| order.
-
-    Args:
-      A: array (..., 6) packed as [A11, A12, A13, A22, A23, A33].
-
-    Returns:
-      array (..., 3) of eigenvalues ordered by descending magnitude.
-    """
-    a11, a12, a13, a22, a23, a33 = (A[..., i] for i in range(6))
-    dt = A.dtype
+def eigenvalues_from_channels(a11, a12, a13, a22, a23, a33, use_trig=True):
+    """Channel-wise core: six same-shape arrays -> (e0, e1, e2) tuple,
+    |e2| <= |e1| <= |e0|. Used directly by the Pallas kernel (no stacking
+    inside kernels — Mosaic dislikes reshapes across the lane axis)."""
+    dt = a11.dtype
     pi = jnp.asarray(np.pi, dt)
 
     p1 = a12 * a12 + a13 * a13 + a23 * a23
@@ -143,7 +137,34 @@ def eigenvalues_sym3x3(A: jnp.ndarray, use_trig: bool = True) -> jnp.ndarray:
     e0 = jnp.where(diag, e0d, t0)
     e1 = jnp.where(diag, e1d, t1)
     e2 = jnp.where(diag, e2d, t2)
+    return e0, e1, e2
+
+
+def eigenvalues_sym3x3(A: jnp.ndarray, use_trig: bool = True) -> jnp.ndarray:
+    """Eigenvalues of symmetric 3x3 matrices, |e3| <= |e2| <= |e1| order.
+
+    Args:
+      A: array (..., 6) packed as [A11, A12, A13, A22, A23, A33].
+
+    Returns:
+      array (..., 3) of eigenvalues ordered by descending magnitude.
+    """
+    e0, e1, e2 = eigenvalues_from_channels(
+        *(A[..., i] for i in range(6)), use_trig=use_trig
+    )
     return jnp.stack([e0, e1, e2], axis=-1)
+
+
+def eigenvalue_feature_channels(a11, a12, a13, a22, a23, a33, use_trig=True):
+    """Channel-wise feature tuple (e1, e2, e3, LoG, curvature, frobenius)
+    for kernel use — no stacking."""
+    e0, e1, e2 = eigenvalues_from_channels(
+        a11, a12, a13, a22, a23, a33, use_trig=use_trig
+    )
+    s = e0 + e1 + e2
+    prod = e0 * e1 * e2
+    frob = jnp.sqrt(e0 * e0 + e1 * e1 + e2 * e2)
+    return e0, e1, e2, s, prod, frob
 
 
 def eigenvalue_features(A: jnp.ndarray, use_trig: bool = True) -> jnp.ndarray:

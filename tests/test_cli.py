@@ -227,3 +227,19 @@ def test_convert_dicom(workdir):
     assert data[0, 0, 0] == -1024.0
     # slices ordered by z: slice 2's values offset by +200
     assert data[0, 0, 2] == -1024.0 + 200.0
+
+
+def test_merge_bags(workdir):
+    d = workdir
+    import numpy as np
+    np.savetxt(d / "b1.bag", np.random.default_rng(0).random((3, 6)), delimiter=",")
+    np.savetxt(d / "b2.bag", np.random.default_rng(1).random((2, 6)), delimiter=",")
+    np.savetxt(d / "blabels.csv", np.array([[1.0], [0.0]]), delimiter=",")
+    _run("merge-bags", "-b", d / "b1.bag", d / "b2.bag",
+         "-o", d / "ds.npz", "--bag-labels", d / "blabels.csv")
+    from ife_tpu.roi.bagged_dataset import load_bagged_dataset
+    ds = load_bagged_dataset(str(d / "ds.npz"))
+    assert ds["instances"].shape == (5, 6)
+    assert list(ds["bag_index"]) == [0, 0, 0, 1, 1]
+    assert ds["bag_labels"].tolist() == [[1.0], [0.0]]
+    assert list(ds["bag_names"]) == ["b1.bag", "b2.bag"]

@@ -79,3 +79,27 @@ def test_fused_nondivisible_and_uneven_blocks():
 def test_fused_block_1_edge_case():
     x = synthetic_ct((4, 4, 8), seed=4, dtype=jnp.float64).data
     _assert_feature_parity(_got(x, block=1), _want(x), rtol=1e-7)
+
+
+def test_fused_features8_matches_ops(monkeypatch):
+    import jax.numpy as jnp
+    from ife_tpu.core.volume import sphere_mask
+    from ife_tpu.kernels.fused import fused_features8
+    from ife_tpu.ops.features import features8
+
+    x = synthetic_ct((16, 16, 16), seed=5, dtype=jnp.float64).data
+    mask = sphere_mask((16, 16, 16), 0.45).data
+    want = np.asarray(features8(x, mask, 1.1, SPACING))
+    got = np.moveaxis(
+        np.asarray(fused_features8(x, mask, 1.1, SPACING, interpret=True)),
+        0, -1,
+    )
+    # masked region zero everywhere
+    outside = np.asarray(mask) == 0
+    assert np.all(got[outside] == 0)
+    # smoothed + gradmag channels: direct comparison (no eigen ordering)
+    for c in (0, 1):
+        s = max(np.abs(want[..., c]).max(), 1.0)
+        assert np.abs(got[..., c] - want[..., c]).max() / s < 1e-7, c
+    # eigen channels via sorted sets + symmetric functions
+    _assert_feature_parity(got[..., 2:], want[..., 2:], rtol=1e-7)
