@@ -71,23 +71,42 @@ def conf_extract_features(p):
     p.add_argument("-m", "--mask", required=True)
     p.add_argument("-o", "--out", required=True, help="output prefix")
     p.add_argument("-s", "--scales", type=float, nargs="+", required=True)
+    p.add_argument("--sharded", action="store_true",
+                   help="block-shard the volume over all local devices "
+                   "(halo-exchange parallel path)")
 
 
 def run_extract_features(args):
     """Reference tools/ExtractFeatures.cxx: per scale, 8 feature volumes
     written as <out>_scale_<s><FeatureName>.nii.gz."""
+    import jax
     import jax.numpy as jnp
     from ife_tpu.ops.features import features8_jit, FEATURE_NAMES
+    from ife_tpu.utils import stage_timer
 
     vol = _load(args.image)
     mask = _load(args.mask)
     img = jnp.asarray(vol.data, jnp.float32)
     msk = jnp.asarray(mask.data)
+    mesh = None
+    if args.sharded:
+        from ife_tpu.parallel import make_mesh
+
+        n = jax.device_count()
+        mesh = make_mesh(n, ("x", "y") if n > 1 else ("x",))
+        _progress(f"sharding over {n} devices: "
+                  f"{dict(zip(mesh.axis_names, mesh.devices.shape))}")
     for s in args.scales:
         _progress(f"Processing scale {s:g}")
-        feats = np.asarray(
-            features8_jit(img, msk, sigma=float(s), spacing=vol.spacing)
-        )
+        with stage_timer(f"features8[s={s:g}]", voxels=img.size, emit=True):
+            if mesh is not None:
+                from ife_tpu.parallel import features8_sharded_auto
+
+                feats = np.asarray(features8_sharded_auto(
+                    img, msk, float(s), mesh, vol.spacing))
+            else:
+                feats = np.asarray(features8_jit(
+                    img, msk, sigma=float(s), spacing=vol.spacing))
         for c, name in enumerate(FEATURE_NAMES):
             out = vol.with_data(feats[..., c])
             _save(f"{args.out}_scale_{s:g}{name}.nii.gz", out)
@@ -119,6 +138,42 @@ def run_masked_normalized_convolution(args):
         else:
             out = jnp.nan_to_num(out, nan=0.0, posinf=0.0, neginf=0.0)
         _save(f"{args.out}scale_{s:g}.nii.gz", vol.with_data(np.asarray(out)))
+
+
+def conf_hessian_features(p):
+    p.add_argument("-i", "--image", required=True)
+    p.add_argument("-m", "--mask", default=None)
+    p.add_argument("-o", "--out", required=True, help="output prefix")
+    p.add_argument("--fused", action="store_true",
+                   help="use the fused Pallas kernel (TPU)")
+
+
+def run_hessian_features(args):
+    """Raw (unsmoothed) Hessian eigen-feature volumes. Capability of the
+    dead reference tool FiniteDifference_HessianFeatures (tools/...cxx,
+    not built; its Dy-direction bug at :153-156 is NOT replicated — the
+    live Hessian3DImageFilter wiring is the spec, SURVEY.md §7)."""
+    import jax.numpy as jnp
+
+    vol = _load(args.image)
+    img = jnp.asarray(vol.data, jnp.float32)
+    names = ("Eigenvalue1", "Eigenvalue2", "Eigenvalue3",
+             "LaplacianOfGaussian", "GaussianCurvature", "FrobeniusNorm")
+    if args.fused:
+        from ife_tpu.kernels.fused import fused_hessian_eig
+
+        feats = np.moveaxis(
+            np.asarray(fused_hessian_eig(img, vol.spacing)), 0, -1
+        )
+    else:
+        from ife_tpu.ops.features import hessian_eig_features
+
+        feats = np.asarray(hessian_eig_features(img, vol.spacing))
+    if args.mask:
+        mask = _load(args.mask)
+        feats = feats * (np.asarray(mask.data) != 0)[..., None]
+    for c, name in enumerate(names):
+        _save(f"{args.out}{name}.nii.gz", vol.with_data(feats[..., c]))
 
 
 def conf_gradient_features(p):
@@ -734,6 +789,9 @@ REGISTRY: Dict[str, Tuple] = {
                                       "normalized Gaussian convolution (MaskedNormalizedConvolution)"),
     "gradient-features": (conf_gradient_features, run_gradient_features,
                           "masked gradient magnitude (FiniteDifference_GradientFeatures)"),
+    "hessian-features": (conf_hessian_features, run_hessian_features,
+                         "raw Hessian eigen-feature volumes "
+                         "(FiniteDifference_HessianFeatures, fixed)"),
     "generate-rois": (conf_generate_rois, run_generate_rois,
                       "random ROI boxes from a mask (GenerateROIs)"),
     "generate-rois-many-regions": (conf_generate_rois_many_regions,

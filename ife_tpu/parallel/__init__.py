@@ -6,10 +6,13 @@ here is new TPU-native design: the voxel grid is block-sharded over a
 exchange over ICI, and statistics reduce with `psum`.
 """
 from ife_tpu.parallel.mesh import (  # noqa: F401
+    crop_from_mesh,
     make_mesh,
+    pad_to_mesh,
     shard_volume,
     volume_pspec,
 )
+from ife_tpu.parallel.features import features8_sharded_auto  # noqa: F401
 from ife_tpu.parallel.halo import halo_exchange, halo_pad  # noqa: F401
 from ife_tpu.parallel.features import (  # noqa: F401
     sharded_features8,

@@ -231,6 +231,28 @@ def sharded_hessian_eig(
     return fn(image)
 
 
+def features8_sharded_auto(
+    image,
+    mask,
+    sigma: float,
+    mesh: Mesh,
+    spacing: Sequence[float] = (1.0, 1.0, 1.0),
+    truncate: float = 4.5,
+) -> jax.Array:
+    """sharded_features8 for arbitrary volume sizes: edge-pads to the mesh
+    grid (exactly composing with ZeroFluxNeumann — see pad_to_mesh), runs
+    the sharded op, crops back. Returns the unsharded-shape result."""
+    from ife_tpu.parallel.mesh import crop_from_mesh, pad_to_mesh, shard_volume
+
+    img_p, orig = pad_to_mesh(jnp.asarray(image), mesh)
+    msk_p, _ = pad_to_mesh(jnp.asarray(mask), mesh)
+    out = sharded_features8(
+        shard_volume(img_p, mesh), shard_volume(msk_p, mesh),
+        sigma, mesh, spacing, truncate,
+    )
+    return crop_from_mesh(out, orig)
+
+
 def sharded_multiscale_features(
     image: jax.Array,
     mask: jax.Array,

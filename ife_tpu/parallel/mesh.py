@@ -56,5 +56,45 @@ def volume_pspec(mesh: Mesh) -> P:
 
 
 def shard_volume(data: jax.Array, mesh: Mesh) -> jax.Array:
-    """Place a volume array onto the mesh with block sharding."""
+    """Place a volume array onto the mesh with block sharding.
+
+    Requires each sharded dim to divide by its mesh extent — use
+    `pad_to_mesh` / `crop_from_mesh` for arbitrary sizes.
+    """
     return jax.device_put(data, NamedSharding(mesh, volume_pspec(mesh)))
+
+
+def mesh_dims(mesh: Mesh) -> Tuple[int, int]:
+    """(mx, my): device-grid extents along volume axes 0 and 1."""
+    dims = mesh.devices.shape
+    return dims[0], (dims[1] if len(dims) > 1 else 1)
+
+
+def pad_to_mesh(data, mesh: Mesh, mode: str = "edge"):
+    """Edge-pad the leading spatial dims up to multiples of the mesh grid.
+
+    Edge replication composes exactly with the ops' ZeroFluxNeumann
+    boundary (every out-of-volume access clamps to the edge voxel either
+    way), so compute-then-`crop_from_mesh` matches the unpadded result.
+    Returns (padded_array, original_shape).
+    """
+    import numpy as _np
+
+    mx, my = mesh_dims(mesh)
+    shape = data.shape
+    px = (-shape[0]) % mx
+    py = (-shape[1]) % my
+    if px == 0 and py == 0:
+        return data, shape
+    pad = [(0, px), (0, py)] + [(0, 0)] * (len(shape) - 2)
+    if isinstance(data, _np.ndarray):
+        return _np.pad(data, pad, mode=mode), shape
+    import jax.numpy as _jnp
+
+    return _jnp.pad(data, pad, mode=mode), shape
+
+
+def crop_from_mesh(data, original_shape) -> jax.Array:
+    """Undo pad_to_mesh on a result (leading dims only)."""
+    sl = (slice(0, original_shape[0]), slice(0, original_shape[1]))
+    return data[sl]

@@ -243,3 +243,28 @@ def test_merge_bags(workdir):
     assert list(ds["bag_index"]) == [0, 0, 0, 1, 1]
     assert ds["bag_labels"].tolist() == [[1.0], [0.0]]
     assert list(ds["bag_names"]) == ["b1.bag", "b2.bag"]
+
+
+def test_hessian_features(workdir):
+    d = workdir
+    _run("hessian-features", "-i", d / "img.nii.gz", "-m", d / "mask.nii.gz",
+         "-o", d / "hf")
+    v = read_volume(str(d / "hfFrobeniusNorm.nii.gz"))
+    assert v.shape == (32, 32, 32)
+    assert np.all(np.asarray(v.data) >= 0)
+    mask = read_volume(str(d / "mask.nii.gz"))
+    assert np.all(np.asarray(v.data)[np.asarray(mask.data) == 0] == 0)
+
+
+def test_extract_features_sharded_matches_unsharded(workdir):
+    d = workdir
+    _run("extract-features", "-i", d / "img.nii.gz", "-m", d / "mask.nii.gz",
+         "-o", d / "unsh", "-s", "1.0")
+    _run("extract-features", "-i", d / "img.nii.gz", "-m", d / "mask.nii.gz",
+         "-o", d / "sh", "-s", "1.0", "--sharded")
+    for name in ("GaussianBlur", "FrobeniusNorm"):
+        a = read_volume(str(d / f"sh_scale_1{name}.nii.gz"))
+        b = read_volume(str(d / f"unsh_scale_1{name}.nii.gz"))
+        # f32: sharded/unsharded differ by summation-order ulps
+        np.testing.assert_allclose(np.asarray(a.data), np.asarray(b.data),
+                                   rtol=1e-5, atol=1e-3)

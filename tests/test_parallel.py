@@ -111,3 +111,14 @@ def test_histogram_quantile_edges_approximates_exact():
     exact = np.quantile(samples, np.arange(1, 10) / 10)
     np.testing.assert_allclose(approx, exact, atol=2e-2)
     assert np.all(np.diff(approx) > 0)
+
+
+def test_features8_sharded_auto_nondivisible_shape():
+    # 45x37x24: neither axis divides the 4x2 mesh -> pad-and-crop path
+    from ife_tpu.parallel import features8_sharded_auto
+    img = synthetic_ct((45, 37, 24), seed=8, dtype=jnp.float64).data
+    mask = sphere_mask((45, 37, 24), 0.44).data
+    mesh = make_mesh(8, ("x", "y"))
+    want = np.asarray(features8(img, mask, 0.9, SPACING))
+    got = np.asarray(features8_sharded_auto(img, mask, 0.9, mesh, SPACING))
+    np.testing.assert_allclose(got, want, atol=1e-12)
