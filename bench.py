@@ -9,10 +9,16 @@ Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "voxels/sec/chip", "vs_baseline": N}
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent compilation cache: TPU compiles through the tunnel take
+# minutes; cache them across bench runs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
 def _device_kind():
@@ -22,7 +28,7 @@ def _device_kind():
     return d.platform, d.device_kind
 
 
-def bench_tpu(shape, iters=5):
+def bench_tpu(shape, iters=5, use_fused=True):
     """Per-iteration device time for the full feature-volume materialization.
 
     The axon tunnel's block_until_ready returns early, so each iteration
@@ -31,16 +37,25 @@ def bench_tpu(shape, iters=5):
     """
     import jax
     import jax.numpy as jnp
+    from ife_tpu.kernels.fused import fused_hessian_eig
     from ife_tpu.ops.features import hessian_eig_features
 
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, shape, dtype=jnp.float32)
     x.block_until_ready()
 
-    @jax.jit
-    def fn(v):
-        out = hessian_eig_features(v, (0.78, 0.78, 1.0))
-        return out, out[..., 0].sum()
+    on_tpu = jax.devices()[0].platform == "tpu" and use_fused
+
+    if on_tpu:
+        @jax.jit
+        def fn(v):
+            outs = fused_hessian_eig(v, (0.78, 0.78, 1.0), stack=False)
+            return outs, outs[0][0].sum()
+    else:
+        @jax.jit
+        def fn(v):
+            out = hessian_eig_features(v, (0.78, 0.78, 1.0))
+            return out, out[..., 0].sum()
 
     @jax.jit
     def tiny(v):
@@ -85,9 +100,12 @@ def main():
     shape = (512, 512, 512) if platform == "tpu" else (128, 128, 128)
     try:
         vox_s = bench_tpu(shape)
-    except Exception:  # OOM headroom fallback
-        shape = (384, 384, 384)
-        vox_s = bench_tpu(shape)
+    except Exception:
+        try:  # fused kernel unavailable -> XLA-composed path
+            vox_s = bench_tpu(shape, use_fused=False)
+        except Exception:  # OOM headroom fallback
+            shape = (384, 384, 384)
+            vox_s = bench_tpu(shape, use_fused=False)
     cpu_vox_s = bench_cpu_reference()
     print(
         json.dumps(

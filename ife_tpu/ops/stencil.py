@@ -147,25 +147,42 @@ def _band_matrix(n: int, sigma_vox: float, radius: int) -> np.ndarray:
     return W
 
 
+def _conv1d_valid(x_last: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
+    """VALID 1D convolution along the last axis: (..., n+K-1) -> (..., n).
+
+    taps are symmetric, so convolution == correlation (no flip needed).
+    """
+    lead = x_last.shape[:-1]
+    lhs = x_last.reshape((-1, 1, x_last.shape[-1]))
+    rhs = taps.reshape((1, 1, taps.shape[0]))
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=x_last.dtype,
+    )
+    return out.reshape(lead + (out.shape[-1],))
+
+
 def gaussian_smooth_axis(
     x: jnp.ndarray, axis: Axis, sigma: float, spacing: float = 1.0,
     truncate: float = 4.5,
 ) -> jnp.ndarray:
     """1D Gaussian along `axis`, sigma in PHYSICAL units (like ITK),
-    ZeroFluxNeumann boundary, as a banded-matrix MXU contraction."""
+    ZeroFluxNeumann boundary: edge-pad + VALID convolution.
+
+    O(K) work per voxel (K = 2*radius+1 taps). An earlier design used a
+    dense (n, n) banded-matrix MXU contraction — O(n) per voxel, ~50x the
+    FLOPs at n=512 for an 11-tap kernel; the conv form is the roofline
+    choice and XLA:TPU lowers small-K convs efficiently.
+    """
     if sigma <= 0:
         return x
     sigma_vox = float(sigma) / float(spacing)
     radius = gaussian_radius(sigma_vox, truncate)
-    n = x.shape[axis]
-    W = jnp.asarray(_band_matrix(n, sigma_vox, radius), dtype=x.dtype)
-    # contract the convolved axis against W: out[o] = sum_i W[o,i] x[i]
-    x_moved = jnp.moveaxis(x, axis, -1)
-    # HIGHEST: on TPU the MXU would otherwise run this f32 contraction in
-    # one bf16 pass (~3 decimal digits) — far outside the 1e-5 parity target.
-    y = jnp.einsum("oi,...i->...o", W, x_moved,
-                   preferred_element_type=x.dtype,
-                   precision=jax.lax.Precision.HIGHEST)
+    taps = jnp.asarray(_gaussian_taps(sigma_vox, radius), dtype=x.dtype)
+    xp = _edge_pad(x, axis, radius, radius)
+    y = _conv1d_valid(jnp.moveaxis(xp, axis, -1), taps)
     return jnp.moveaxis(y, -1, axis)
 
 

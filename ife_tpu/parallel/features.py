@@ -39,37 +39,21 @@ from ife_tpu.parallel.mesh import volume_pspec
 # banded Gaussian on an extended block
 # ---------------------------------------------------------------------------
 
-@functools.lru_cache(maxsize=1024)
-def _band_matrix_ext(n_local: int, sigma_vox: float, radius: int) -> np.ndarray:
-    """(n_local, n_local + 2*radius) tap matrix, no boundary clamping —
-    the halo provides boundary semantics."""
-    taps = stencil._gaussian_taps(sigma_vox, radius)
-    W = np.zeros((n_local, n_local + 2 * radius), dtype=np.float64)
-    for t_idx, t in enumerate(taps):
-        for o in range(n_local):
-            W[o, o + t_idx] += t
-    return W
-
-
 def _smooth_axis_block(
     x: jnp.ndarray, axis: int, axis_name: str, sigma: float, spacing: float,
     truncate: float,
 ) -> jnp.ndarray:
-    """Gaussian along a SHARDED axis: halo exchange + rectangular band MXU
-    contraction. Bit-compatible with stencil.gaussian_smooth_axis."""
+    """Gaussian along a SHARDED axis: halo exchange + VALID convolution —
+    the halo (real neighbor slabs / edge replication at true edges) plays
+    exactly the role of stencil.gaussian_smooth_axis's edge pad, so results
+    match the single-device op."""
     if sigma <= 0:
         return x
     sigma_vox = float(sigma) / float(spacing)
     radius = stencil.gaussian_radius(sigma_vox, truncate)
-    n_local = x.shape[axis]
+    taps = jnp.asarray(stencil._gaussian_taps(sigma_vox, radius), dtype=x.dtype)
     x_ext = halo_exchange(x, axis, radius, axis_name)
-    W = jnp.asarray(_band_matrix_ext(n_local, sigma_vox, radius), dtype=x.dtype)
-    x_moved = jnp.moveaxis(x_ext, axis, -1)
-    y = jnp.einsum(
-        "oi,...i->...o", W, x_moved,
-        preferred_element_type=x.dtype,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    y = stencil._conv1d_valid(jnp.moveaxis(x_ext, axis, -1), taps)
     return jnp.moveaxis(y, -1, axis)
 
 
