@@ -216,6 +216,8 @@ def conf_make_bag(p):
     p.add_argument("--roi-size", type=_triple, default=(41, 41, 41),
                    metavar="X,Y,Z")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--device", action="store_true",
+                   help="histogram the ROIs on device (uniform ROI size)")
 
 
 def run_make_bag(args):
@@ -224,14 +226,16 @@ def run_make_bag(args):
     from ife_tpu.io import read_hist_spec, write_rois
     from ife_tpu.io.text import write_matrix_csv
     from ife_tpu.roi import make_bag
+    from ife_tpu.roi.bag import make_bag_device
 
     vol = _load(args.image)
     mask = _load(args.mask)
     edges = read_hist_spec(args.hist_spec)
     mask_np = np.asarray(mask.data)
     rois = _get_rois(args, mask_np)
-    bag = make_bag(np.asarray(vol.data), mask_np, args.scales, edges, rois,
-                   spacing=vol.spacing)
+    bag_fn = make_bag_device if getattr(args, "device", False) else make_bag
+    bag = bag_fn(np.asarray(vol.data), mask_np, args.scales, edges, rois,
+                 spacing=vol.spacing)
     write_matrix_csv(f"{args.out}.bag", bag)
     write_rois(f"{args.out}.ROIInfo", rois)
     _progress(f"Wrote {bag.shape[0]} ROIs x {bag.shape[1]} columns")

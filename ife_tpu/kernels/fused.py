@@ -39,23 +39,55 @@ def _clamp_shift_z(s: jnp.ndarray, off: int) -> jnp.ndarray:
     raise ValueError(off)
 
 
-def _kernel(x_hbm, o0, o1, o2, o3, o4, o5, scratch, sem, *, bx, by, wy, hx, hy, hz):
+def _window_pipeline(x_hbm, scratch, sem, bx, by, wy, n_buf):
+    """Fetch this grid step's halo window into VMEM. n_buf=2: prefetch the
+    next step's window into the other slot so HBM reads overlap compute
+    (scratch persists across TPU grid steps); n_buf=1: plain fetch (used
+    when VMEM is too tight for two slots — output pipeline buffers already
+    claim most of the 16MB).
+
+    DMA window: (bx+2, wy, Z) where wy = by+2 rounded up to the f32
+    sublane multiple (8) — an unaligned sublane extent in a manual DMA
+    faults the TPU worker (found the hard way); the input is pre-padded
+    so the widened window never reads out of bounds.
+    """
     i = pl.program_id(0)
     j = pl.program_id(1)
+    n_i = pl.num_programs(0)
+    n_j = pl.num_programs(1)
+    step = i * n_j + j
 
-    # DMA window: (bx+2, wy, Z) where wy = by+2 rounded up to the f32
-    # sublane multiple (8) — an unaligned sublane extent in a manual DMA
-    # faults the TPU worker (found the hard way); the input is pre-padded
-    # so the widened window never reads out of bounds.
-    dma = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(i * bx, bx + 2), pl.ds(j * by, wy), :],
-        scratch,
-        sem,
-    )
-    dma.start()
-    dma.wait()
+    def window_dma(s, slot):
+        wi = s // n_j
+        wj = s % n_j
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(wi * bx, bx + 2), pl.ds(wj * by, wy), :],
+            scratch.at[slot],
+            sem.at[slot],
+        )
 
-    s = scratch[:, : by + 2, :]  # (bx+2, by+2, Z)
+    if n_buf == 1:
+        dma = window_dma(step, 0)
+        dma.start()
+        dma.wait()
+        return scratch[0]
+
+    @pl.when(step == 0)
+    def _():
+        window_dma(step, 0).start()
+
+    @pl.when(step + 1 < n_i * n_j)
+    def _():
+        window_dma(step + 1, (step + 1) % 2).start()
+
+    window_dma(step, step % 2).wait()
+    return scratch[step % 2]
+
+
+def _kernel(x_hbm, o0, o1, o2, o3, o4, o5, scratch, sem, *, bx, by, wy,
+            hx, hy, hz, n_buf):
+    win = _window_pipeline(x_hbm, scratch, sem, bx, by, wy, n_buf)
+    s = win[:, : by + 2, :]  # (bx+2, by+2, Z)
     dt = s.dtype
     # divide (not multiply-by-reciprocal): identical rounding to
     # ops.stencil.derivative, so fused and XLA paths agree to the ulp
@@ -89,19 +121,12 @@ def _kernel(x_hbm, o0, o1, o2, o3, o4, o5, scratch, sem, *, bx, by, wy, hx, hy, 
 
 
 def _features8_kernel(s_hbm, m_ref, o0, o1, o2, o3, o4, o5, o6, o7,
-                      scratch, sem, *, bx, by, wy, hx, hy, hz):
+                      scratch, sem, *, bx, by, wy, hx, hy, hz, n_buf):
     """Post-smoothing features8 pass: smoothed volume (halo window) + mask
     block -> the 8 masked feature channels of reference
     ImageToEmphysemaFeaturesFilter.hxx:14-55, one VMEM round trip."""
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    dma = pltpu.make_async_copy(
-        s_hbm.at[pl.ds(i * bx, bx + 2), pl.ds(j * by, wy), :], scratch, sem
-    )
-    dma.start()
-    dma.wait()
-
-    s = scratch[:, : by + 2, :]
+    win = _window_pipeline(s_hbm, scratch, sem, bx, by, wy, n_buf)
+    s = win[:, : by + 2, :]
     dt = s.dtype
     h2x = jnp.asarray(2 * hx, dt)
     h2y = jnp.asarray(2 * hy, dt)
@@ -148,6 +173,17 @@ def _pick_block(n: int, target: int) -> int:
     return b
 
 
+def _pick_n_buf(bx: int, by: int, wy: int, Z: int, n_out: int,
+                itemsize: int) -> int:
+    """2 input slots when the VMEM budget allows, else 1. Rough model:
+    Pallas double-buffers each output block; temporaries cost ~6 windows.
+    (16MB hard limit; block16 x 6 outputs measured 16.43M with 2 slots.)"""
+    est = itemsize * Z * (
+        2 * n_out * bx * by + 8 * (bx + 2) * wy
+    )
+    return 2 if est <= 12 * 1024 * 1024 else 1
+
+
 @functools.partial(
     jax.jit, static_argnames=("spacing", "block", "interpret", "stack")
 )
@@ -185,8 +221,9 @@ def fused_hessian_eig(
     # never reach an output.
     xp = jnp.pad(x, ((1, 1), (1, wy - by - 1), (0, 0)), mode="edge")
 
+    n_buf = _pick_n_buf(bx, by, wy, Z, 6, x.dtype.itemsize)
     kernel = functools.partial(
-        _kernel, bx=bx, by=by, wy=wy, hx=hx, hy=hy, hz=hz
+        _kernel, bx=bx, by=by, wy=wy, hx=hx, hy=hy, hz=hz, n_buf=n_buf
     )
     out_spec = pl.BlockSpec(
         (bx, by, Z), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
@@ -198,8 +235,8 @@ def fused_hessian_eig(
         out_specs=[out_spec] * 6,
         out_shape=[jax.ShapeDtypeStruct((X, Y, Z), x.dtype)] * 6,
         scratch_shapes=[
-            pltpu.VMEM((bx + 2, wy, Z), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((n_buf, bx + 2, wy, Z), x.dtype),
+            pltpu.SemaphoreType.DMA((n_buf,)),
         ],
         interpret=interpret,
     )(xp)
@@ -247,8 +284,11 @@ def fused_features8(
     hx, hy, hz = (float(v) for v in spacing)
     sp = jnp.pad(s, ((1, 1), (1, wy - by - 1), (0, 0)), mode="edge")
 
+    # 9 VMEM block streams: 8 outputs + the mask input block
+    n_buf = _pick_n_buf(bx, by, wy, Z, 9, s.dtype.itemsize)
     kernel = functools.partial(
-        _features8_kernel, bx=bx, by=by, wy=wy, hx=hx, hy=hy, hz=hz
+        _features8_kernel, bx=bx, by=by, wy=wy, hx=hx, hy=hy, hz=hz,
+        n_buf=n_buf,
     )
     blk_spec = pl.BlockSpec(
         (bx, by, Z), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
@@ -260,8 +300,8 @@ def fused_features8(
         out_specs=[blk_spec] * 8,
         out_shape=[jax.ShapeDtypeStruct((X, Y, Z), s.dtype)] * 8,
         scratch_shapes=[
-            pltpu.VMEM((bx + 2, wy, Z), s.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((n_buf, bx + 2, wy, Z), s.dtype),
+            pltpu.SemaphoreType.DMA((n_buf,)),
         ],
         interpret=interpret,
     )(sp, m)

@@ -15,11 +15,15 @@ from __future__ import annotations
 
 from typing import List, Sequence
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ife_tpu.ops.features import features8, NUM_FEATURES
 from ife_tpu.roi.generate import ROI
+from ife_tpu.stats.histogram import histogram_counts
 
 
 def _check_hist_spec(hist_edges: Sequence[np.ndarray], n_expected: int) -> int:
@@ -97,6 +101,95 @@ def make_bag(
                     col = col0 + k * hist_size
                     bag[j, col : col + hist_size] = freqs
     return bag
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def roi_feature_histograms_device(
+    feats: jnp.ndarray,
+    mask: jnp.ndarray,
+    starts: jnp.ndarray,
+    edges: jnp.ndarray,
+    size: tuple,
+) -> jnp.ndarray:
+    """Device-side MakeBag inner loop: per-ROI masked feature histograms.
+
+    All ROIs share `size` (static), so every crop is a fixed-shape
+    lax.dynamic_slice and the whole bag row block is one vmapped program —
+    the TPU-native replacement for the reference's per-voxel
+    std::lower_bound loop (tools/MakeBag.cxx:448-457).
+
+    Args:
+      feats: (X, Y, Z, C) feature volume (any C, 8 for features8).
+      mask: (X, Y, Z) labels; nonzero = counted.
+      starts: (N, 3) int ROI start corners.
+      edges: (C, E) bin edges per channel.
+      size: ROI box (sx, sy, sz).
+
+    Returns:
+      (N, C, E+1) frequencies (counts / masked voxels; nan if empty,
+      like the reference's divide-by-zero).
+    """
+    C = feats.shape[-1]
+
+    def one(start):
+        crop = jax.lax.dynamic_slice(
+            feats, (start[0], start[1], start[2], 0), (*size, C)
+        )
+        mcrop = jax.lax.dynamic_slice(mask, tuple(start), size)
+        w = (mcrop != 0).astype(jnp.float32).reshape(-1)
+        vox = crop.reshape(-1, C)
+        counts = jax.vmap(
+            lambda v, e: histogram_counts(v, e, w), in_axes=(1, 0)
+        )(vox, edges)
+        return counts / w.sum()
+
+    return jax.vmap(one)(starts)
+
+
+def make_bag_device(
+    image: np.ndarray,
+    mask: np.ndarray,
+    sigmas: Sequence[float],
+    hist_edges: Sequence[np.ndarray],
+    rois: Sequence[ROI],
+    spacing: Sequence[float] = (1.0, 1.0, 1.0),
+    dtype=jnp.float32,
+) -> np.ndarray:
+    """make_bag with the ROI histogramming on device (requires uniform ROI
+    size). Same (n_rois, histSize * 8 * n_scales) layout and bin semantics
+    as make_bag; only one small (N, hists, bins) array returns to host per
+    scale instead of the full feature volume."""
+    sizes = {r.size for r in rois}
+    if len(sizes) != 1:
+        raise ValueError("device bag path requires uniform ROI size")
+    size = sizes.pop()
+    hist_size = _check_hist_spec(hist_edges, NUM_FEATURES * len(sigmas))
+    img_dev = jnp.asarray(image, dtype)
+    mask_dev = jnp.asarray(np.clip(np.asarray(mask), 0, 1))
+    starts = jnp.asarray([r.index for r in rois])
+    blocks = []
+    for i, sigma in enumerate(sigmas):
+        feats = features8(img_dev, mask_dev, float(sigma), tuple(spacing))
+        edges_block = np.stack([
+            np.asarray(hist_edges[i * NUM_FEATURES + k], dtype=np.float64)
+            for k in range(NUM_FEATURES)
+        ])
+        if feats.dtype == jnp.float32:
+            # bin convention compares f32 values against f64 edges (exact
+            # after promotion); in-f32 comparison is equivalent iff edges
+            # are rounded DOWN to f32 (v <= e64 <=> v <= f32_floor(e64))
+            e32 = edges_block.astype(np.float32)
+            over = e32.astype(np.float64) > edges_block
+            e32[over] = np.nextafter(
+                e32[over], np.float32(-np.inf), dtype=np.float32
+            )
+            edges_block = e32
+        edges_block = jnp.asarray(edges_block, feats.dtype)
+        freqs = roi_feature_histograms_device(
+            feats, mask_dev, starts, edges_block, size
+        )  # (N, 8, hist_size)
+        blocks.append(np.asarray(freqs, dtype=np.float64))
+    return np.concatenate(blocks, axis=1).reshape(len(rois), -1)
 
 
 def make_bag_intensity(

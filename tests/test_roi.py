@@ -129,3 +129,44 @@ def test_extract_labels_mode_and_ignore():
     assert extract_labels(lab, rois, ignore=[0, 2]) == [5]
     # dominant override
     assert extract_labels(lab, rois, ignore=[0], dominant=5, dominant_threshold=0.1) == [5]
+
+
+def test_roi_feature_histograms_device_matches_host():
+    import jax.numpy as jnp
+    from ife_tpu.roi.bag import make_bag, roi_feature_histograms_device
+    from ife_tpu.ops.features import features8
+    from ife_tpu.core.volume import synthetic_ct, sphere_mask
+    from ife_tpu.roi.generate import generate_random_rois
+
+    vol = synthetic_ct((24, 24, 24), seed=3)
+    mask = sphere_mask((24, 24, 24), 0.45)
+    rois = generate_random_rois(mask.numpy(), n=4, size=(7, 7, 7), seed=0)
+    edges = np.stack([np.linspace(-700 + 30 * k, -100, 5) for k in range(8)])
+
+    bag_host = make_bag(vol.numpy(), mask.numpy(), [1.0], list(edges), rois)
+
+    feats = features8(vol.data, mask.data, 1.0)
+    starts = jnp.asarray([r.index for r in rois])
+    freqs = roi_feature_histograms_device(
+        feats, mask.data, starts, jnp.asarray(edges), (7, 7, 7)
+    )
+    np.testing.assert_allclose(
+        np.asarray(freqs).reshape(4, -1), bag_host, atol=1e-6
+    )
+
+
+def test_make_bag_device_matches_host():
+    from ife_tpu.roi.bag import make_bag_device
+
+    vol = synthetic_ct((24, 24, 24), seed=3)
+    mask = sphere_mask((24, 24, 24), 0.45)
+    rois = generate_random_rois(mask.numpy(), n=4, size=(7, 7, 7), seed=0)
+    sigmas = [0.7, 1.3]
+    edges = [np.linspace(-700 + 30 * k, -100, 5) for k in range(16)]
+    host = make_bag(vol.numpy(), mask.numpy(), sigmas, edges, rois)
+    dev = make_bag_device(vol.numpy(), mask.numpy(), sigmas, edges, rois)
+    np.testing.assert_allclose(dev, host, atol=1e-6)
+    # ragged ROI sizes rejected
+    ragged = rois[:-1] + [type(rois[0])(rois[-1].index, (5, 5, 5))]
+    with pytest.raises(ValueError, match="uniform"):
+        make_bag_device(vol.numpy(), mask.numpy(), sigmas, edges, ragged)
