@@ -84,32 +84,42 @@ def _window_pipeline(x_hbm, scratch, sem, bx, by, wy, n_buf):
     return scratch[step % 2]
 
 
+def _stencil_block(s, hx, hy, hz):
+    """All central-difference derivatives of the halo window s
+    (bx+2, by+2, Z). Multiply-by-reciprocal (constants folded in f64 at
+    trace time, exactly like ops.stencil.derivative) — VPU divides run at
+    a fraction of mul throughput and this kernel is VPU-bound.
+
+    Returns (core, dxx, dyy, dzz, dxy, dxz, dyz, dx_c, dy), each (bx, by, Z).
+    """
+    dt = s.dtype
+    r2x = jnp.asarray(1.0 / (2.0 * hx), dt)
+    r2y = jnp.asarray(1.0 / (2.0 * hy), dt)
+    r2z = jnp.asarray(1.0 / (2.0 * hz), dt)
+    rxx = jnp.asarray(1.0 / (hx * hx), dt)
+    ryy = jnp.asarray(1.0 / (hy * hy), dt)
+    rzz = jnp.asarray(1.0 / (hz * hz), dt)
+
+    core = s[1:-1, 1:-1, :]
+    dxx = (s[2:, 1:-1, :] - 2 * core + s[:-2, 1:-1, :]) * rxx
+    dyy = (s[1:-1, 2:, :] - 2 * core + s[1:-1, :-2, :]) * ryy
+    dzz = (_clamp_shift_z(core, 1) - 2 * core + _clamp_shift_z(core, -1)) * rzz
+
+    # cascaded cross derivatives (two radius-1 passes, like the reference)
+    dx = (s[2:, :, :] - s[:-2, :, :]) * r2x          # (bx, by+2, Z)
+    dxy = (dx[:, 2:, :] - dx[:, :-2, :]) * r2y       # (bx, by, Z)
+    dx_c = dx[:, 1:-1, :]
+    dxz = (_clamp_shift_z(dx_c, 1) - _clamp_shift_z(dx_c, -1)) * r2z
+    dy = (s[1:-1, 2:, :] - s[1:-1, :-2, :]) * r2y    # (bx, by, Z)
+    dyz = (_clamp_shift_z(dy, 1) - _clamp_shift_z(dy, -1)) * r2z
+    return core, dxx, dyy, dzz, dxy, dxz, dyz, dx_c, dy
+
+
 def _kernel(x_hbm, o0, o1, o2, o3, o4, o5, scratch, sem, *, bx, by, wy,
             hx, hy, hz, n_buf):
     win = _window_pipeline(x_hbm, scratch, sem, bx, by, wy, n_buf)
     s = win[:, : by + 2, :]  # (bx+2, by+2, Z)
-    dt = s.dtype
-    # divide (not multiply-by-reciprocal): identical rounding to
-    # ops.stencil.derivative, so fused and XLA paths agree to the ulp
-    h2x = jnp.asarray(2 * hx, dt)
-    h2y = jnp.asarray(2 * hy, dt)
-    h2z = jnp.asarray(2 * hz, dt)
-    hx2 = jnp.asarray(hx, dt) * jnp.asarray(hx, dt)
-    hy2 = jnp.asarray(hy, dt) * jnp.asarray(hy, dt)
-    hz2 = jnp.asarray(hz, dt) * jnp.asarray(hz, dt)
-
-    core = s[1:-1, 1:-1, :]
-    dxx = (s[2:, 1:-1, :] - 2 * core + s[:-2, 1:-1, :]) / hx2
-    dyy = (s[1:-1, 2:, :] - 2 * core + s[1:-1, :-2, :]) / hy2
-    dzz = (_clamp_shift_z(core, 1) - 2 * core + _clamp_shift_z(core, -1)) / hz2
-
-    # cascaded cross derivatives (two radius-1 passes, like the reference)
-    dx = (s[2:, :, :] - s[:-2, :, :]) / h2x          # (bx, by+2, Z)
-    dxy = (dx[:, 2:, :] - dx[:, :-2, :]) / h2y       # (bx, by, Z)
-    dx_c = dx[:, 1:-1, :]
-    dxz = (_clamp_shift_z(dx_c, 1) - _clamp_shift_z(dx_c, -1)) / h2z
-    dy = (s[1:-1, 2:, :] - s[1:-1, :-2, :]) / h2y    # (bx, by, Z)
-    dyz = (_clamp_shift_z(dy, 1) - _clamp_shift_z(dy, -1)) / h2z
+    _, dxx, dyy, dzz, dxy, dxz, dyz, _, _ = _stencil_block(s, hx, hy, hz)
 
     # channel order [Dxx, Dxy, Dxz, Dyy, Dyz, Dzz] == packed [A11..A33];
     # use_trig=False: Newton trisection (no acos in Mosaic)
@@ -128,25 +138,12 @@ def _features8_kernel(s_hbm, m_ref, o0, o1, o2, o3, o4, o5, o6, o7,
     win = _window_pipeline(s_hbm, scratch, sem, bx, by, wy, n_buf)
     s = win[:, : by + 2, :]
     dt = s.dtype
-    h2x = jnp.asarray(2 * hx, dt)
-    h2y = jnp.asarray(2 * hy, dt)
-    h2z = jnp.asarray(2 * hz, dt)
-    hx2 = jnp.asarray(hx, dt) * jnp.asarray(hx, dt)
-    hy2 = jnp.asarray(hy, dt) * jnp.asarray(hy, dt)
-    hz2 = jnp.asarray(hz, dt) * jnp.asarray(hz, dt)
+    core, dxx, dyy, dzz, dxy, dxz, dyz, dx_c, dy = _stencil_block(
+        s, hx, hy, hz
+    )
 
-    core = s[1:-1, 1:-1, :]
-    dxx = (s[2:, 1:-1, :] - 2 * core + s[:-2, 1:-1, :]) / hx2
-    dyy = (s[1:-1, 2:, :] - 2 * core + s[1:-1, :-2, :]) / hy2
-    dzz = (_clamp_shift_z(core, 1) - 2 * core + _clamp_shift_z(core, -1)) / hz2
-    dx = (s[2:, :, :] - s[:-2, :, :]) / h2x
-    dxy = (dx[:, 2:, :] - dx[:, :-2, :]) / h2y
-    dx_c = dx[:, 1:-1, :]
-    dxz = (_clamp_shift_z(dx_c, 1) - _clamp_shift_z(dx_c, -1)) / h2z
-    dy = (s[1:-1, 2:, :] - s[1:-1, :-2, :]) / h2y
-    dyz = (_clamp_shift_z(dy, 1) - _clamp_shift_z(dy, -1)) / h2z
-
-    gz = (_clamp_shift_z(core, 1) - _clamp_shift_z(core, -1)) / h2z
+    r2z = jnp.asarray(1.0 / (2.0 * hz), dt)
+    gz = (_clamp_shift_z(core, 1) - _clamp_shift_z(core, -1)) * r2z
     gm = jnp.sqrt(dx_c * dx_c + dy * dy + gz * gz)
 
     feats = eigenvalue_feature_channels(
@@ -231,7 +228,7 @@ def fused_hessian_eig(
     outs = pl.pallas_call(
         kernel,
         grid=(X // bx, Y // by),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[out_spec] * 6,
         out_shape=[jax.ShapeDtypeStruct((X, Y, Z), x.dtype)] * 6,
         scratch_shapes=[
@@ -296,7 +293,7 @@ def fused_features8(
     outs = pl.pallas_call(
         kernel,
         grid=(X // bx, Y // by),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY), blk_spec],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), blk_spec],
         out_specs=[blk_spec] * 8,
         out_shape=[jax.ShapeDtypeStruct((X, Y, Z), s.dtype)] * 8,
         scratch_shapes=[

@@ -28,6 +28,7 @@ curvature), sqrt(e1^2+e2^2+e3^2) (Frobenius norm)].
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -58,17 +59,23 @@ def _ordered_by_abs_desc_diag(a11, a22, a33):
 
 def _cos_third_arccos(r: jnp.ndarray) -> jnp.ndarray:
     """cos(arccos(r)/3) without trig: Newton on the triple-angle identity
-    4c^3 - 3c = m for m = |r| (3 iterations reach machine epsilon; the root
-    lies in [cos(pi/6), 1] where the cubic is well-conditioned), then the
-    angle-complement identity for r < 0 (where the direct cubic has a
-    near-double root and Newton degrades). Pallas TPU has no acos lowering,
-    and mul/add/sqrt beat VPU transcendentals anyway.
+    4c^3 - 3c = m for m = |r| (the root lies in [cos(pi/6), 1] where the
+    cubic is well-conditioned), then the angle-complement identity for
+    r < 0 (where the direct cubic has a near-double root and Newton
+    degrades). Pallas TPU has no acos lowering, and mul/add/sqrt beat VPU
+    transcendentals anyway.
+
+    Seed: least-squares quadratic in m (max err 5.4e-4), so 2 Newton
+    steps reach 4.3e-13 — below f32 roundoff (f64 gets a third step).
     """
     dt = r.dtype
     m = jnp.abs(r)
-    c = jnp.asarray(0.866, dt) + jnp.asarray(0.134, dt) * m
-    for _ in range(3):
-        c = c - (4 * c * c * c - 3 * c - m) / (12 * c * c - 3)
+    c = jnp.asarray(0.86656125, dt) + m * (
+        jnp.asarray(0.15958996, dt) - jnp.asarray(0.0265687, dt) * m
+    )
+    for _ in range(2 if dt == jnp.float32 else 3):
+        c2 = c * c
+        c = c - ((4 * c2 - 3) * c - m) / (12 * c2 - 3)
     # r < 0: arccos(r) = pi - arccos(m);
     # cos((pi - psi)/3) = c/2 + (sqrt(3)/2) sqrt(1 - c^2), psi = arccos(m)
     half = jnp.asarray(0.5, dt)
@@ -87,27 +94,30 @@ def eigenvalues_from_channels(a11, a12, a13, a22, a23, a33, use_trig=True):
     p1 = a12 * a12 + a13 * a13 + a23 * a23
 
     # ---- general (non-diagonal) trigonometric path ----
-    three = jnp.asarray(3, dt)
-    q = (a11 + a22 + a33) / three
+    # One rsqrt replaces the 6 normalization divides + sqrt of the naive
+    # form: r = det(B)/2 with B = (A - qI)/p is computed as
+    # det(A - qI) * pinv^3 / 2 (VPU divides/sqrts run at a fraction of
+    # mul/add throughput; this path dominates the fused kernel's cost).
+    q = (a11 + a22 + a33) * jnp.asarray(1.0 / 3.0, dt)
     d11, d22, d33 = a11 - q, a22 - q, a33 - q
     p2 = d11 * d11 + d22 * d22 + d33 * d33 + 2 * p1
-    p = jnp.sqrt(p2 / jnp.asarray(6, dt))
-    # p > 0 whenever p1 > 0; guard the diagonal lanes so we never divide by 0.
-    psafe = jnp.where(p > 0, p, jnp.asarray(1, dt))
-    b11, b22, b33 = d11 / psafe, d22 / psafe, d33 / psafe
-    b12, b13, b23 = a12 / psafe, a13 / psafe, a23 / psafe
-    r = (
-        b11 * b22 * b33
-        + 2 * b12 * b13 * b23
-        - b23 * b23 * b11
-        - b13 * b13 * b22
-        - b12 * b12 * b33
-    ) / jnp.asarray(2, dt)
+    # p2 > 0 whenever p1 > 0; guard the diagonal lanes (result discarded).
+    p2safe = jnp.where(p2 > 0, p2, jnp.asarray(1, dt)) * jnp.asarray(
+        1.0 / 6.0, dt
+    )
+    pinv = jax.lax.rsqrt(p2safe)
+    p = p2safe * pinv  # sqrt(p2/6)
+    det = (
+        d11 * (d22 * d33 - a23 * a23)
+        + a12 * (a23 * a13 - a12 * d33)
+        + a13 * (a12 * a23 - a13 * d22)
+    )
+    r = det * (pinv * pinv * pinv) * jnp.asarray(0.5, dt)
 
     # clip(r) reproduces the reference's r<=-1 -> phi=pi/3, r>=1 -> 0 guards.
     rc = jnp.clip(r, jnp.asarray(-1, dt), jnp.asarray(1, dt))
     if use_trig:
-        phi = jnp.arccos(rc) / three
+        phi = jnp.arccos(rc) * jnp.asarray(1.0 / 3.0, dt)
         cphi = jnp.cos(phi)
         cphi2 = jnp.cos(phi + pi * jnp.asarray(2.0 / 3.0, dt))
     else:

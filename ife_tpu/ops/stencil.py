@@ -69,11 +69,14 @@ def derivative(
     fm = _shift(xp, axis, 0, n)
     f0 = _shift(xp, axis, 1, n)
     fp = _shift(xp, axis, 2, n)
-    h = jnp.asarray(spacing, x.dtype)
+    # multiply by the f64-folded reciprocal (same constant as the fused
+    # Pallas kernel, so the two paths agree to the ulp; divides are the
+    # slow VPU op class on TPU)
+    h = float(spacing)
     if order == 1:
-        return (fp - fm) / (2 * h)
+        return (fp - fm) * jnp.asarray(1.0 / (2.0 * h), x.dtype)
     elif order == 2:
-        return (fp - 2 * f0 + fm) / (h * h)
+        return (fp - 2 * f0 + fm) * jnp.asarray(1.0 / (h * h), x.dtype)
     raise ValueError(f"order must be 1 or 2, got {order}")
 
 

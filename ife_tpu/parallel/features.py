@@ -74,8 +74,13 @@ def _d(arr: jnp.ndarray, exts: Exts, axis: int, order: int, h: float
         fm = _slab(arr, axis, 0, n_out)
         f0 = _slab(arr, axis, 1, n_out)
         fp = _slab(arr, axis, 2, n_out)
-        hs = jnp.asarray(h, arr.dtype)
-        out = (fp - fm) / (2 * hs) if order == 1 else (fp - 2 * f0 + fm) / (hs * hs)
+        # same f64-folded reciprocal constants as stencil.derivative so the
+        # sharded and single-device paths agree to the ulp
+        hf = float(h)
+        if order == 1:
+            out = (fp - fm) * jnp.asarray(1.0 / (2.0 * hf), arr.dtype)
+        else:
+            out = (fp - 2 * f0 + fm) * jnp.asarray(1.0 / (hf * hf), arr.dtype)
         new = dict(exts)
         new.pop(axis)
         return out, new
