@@ -170,15 +170,22 @@ def _pick_block(n: int, target: int) -> int:
     return b
 
 
+# Mosaic's default scoped-VMEM limit is 16MB, but v5e has 128MB physical
+# VMEM; block16 x 6 outputs with double buffering measured 16.43M — over
+# the default limit by a hair (and dependent on allocator luck), so raise
+# the limit instead of shrinking the pipeline.
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
 def _pick_n_buf(bx: int, by: int, wy: int, Z: int, n_out: int,
                 itemsize: int) -> int:
-    """2 input slots when the VMEM budget allows, else 1. Rough model:
-    Pallas double-buffers each output block; temporaries cost ~6 windows.
-    (16MB hard limit; block16 x 6 outputs measured 16.43M with 2 slots.)"""
+    """2 input slots when the (raised) VMEM budget allows, else 1. Rough
+    model: Pallas double-buffers each output block; compiler temporaries
+    cost ~6 windows on top."""
     est = itemsize * Z * (
         2 * n_out * bx * by + 8 * (bx + 2) * wy
     )
-    return 2 if est <= 12 * 1024 * 1024 else 1
+    return 2 if est <= int(0.8 * _VMEM_LIMIT) else 1
 
 
 @functools.partial(
@@ -235,6 +242,9 @@ def fused_hessian_eig(
             pltpu.VMEM((n_buf, bx + 2, wy, Z), x.dtype),
             pltpu.SemaphoreType.DMA((n_buf,)),
         ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
         interpret=interpret,
     )(xp)
     if stack:
@@ -300,6 +310,9 @@ def fused_features8(
             pltpu.VMEM((n_buf, bx + 2, wy, Z), s.dtype),
             pltpu.SemaphoreType.DMA((n_buf,)),
         ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
         interpret=interpret,
     )(sp, m)
     if stack:

@@ -57,31 +57,68 @@ def _ordered_by_abs_desc_diag(a11, a22, a33):
     return e0, e1, e2
 
 
-def _cos_third_arccos(r: jnp.ndarray) -> jnp.ndarray:
-    """cos(arccos(r)/3) without trig: Newton on the triple-angle identity
-    4c^3 - 3c = m for m = |r| (the root lies in [cos(pi/6), 1] where the
-    cubic is well-conditioned), then the angle-complement identity for
-    r < 0 (where the direct cubic has a near-double root and Newton
-    degrades). Pallas TPU has no acos lowering, and mul/add/sqrt beat VPU
-    transcendentals anyway.
+# Chebyshev least-squares fit of cos(arccos(m)/3) on m in [0, 1] (power
+# basis, Horner). The function is analytic on [0, 1] (even in
+# psi = arccos m, and psi^2 is analytic in m), so a degree-8 fit reaches
+# 4.3e-9 in f64 — below the f32 roundoff of the Horner evaluation itself
+# (6.8e-8 measured). Replaces the Newton trisection in f32: same accuracy,
+# zero VPU divides (divides run at a fraction of FMA throughput and the
+# fused kernel is VPU-bound — probe: eigen was ~45 ms of the 57 ms pass).
+_COS13_COEF = (
+    0.8660254080410869, 0.16666626771129278, -0.04810327526051493,
+    0.02459883847130328, -0.015095279415175522, 0.009372082506501525,
+    -0.004929524933662343, 0.0017713776825497704, -0.0003058979258242973,
+)
 
-    Seed: least-squares quadratic in m (max err 5.4e-4), so 2 Newton
-    steps reach 4.3e-13 — below f32 roundoff (f64 gets a third step).
+
+def _horner(coef, x):
+    acc = jnp.asarray(coef[-1], x.dtype)
+    for c in coef[-2::-1]:
+        acc = acc * x + jnp.asarray(c, x.dtype)
+    return acc
+
+
+def _cos_sin_third_arccos(m: jnp.ndarray):
+    """(cos, sin) of arccos(m)/3 for m in [0, 1], without trig — Pallas TPU
+    has no acos lowering, and mul/add/sqrt beat VPU transcendentals anyway.
+
+    f32: degree-8 polynomial for c (pure FMA chain, no divides); f64:
+    Newton on the triple-angle identity 4c^3 - 3c = m (the root lies in
+    [cos(pi/6), 1] where the cubic is well-conditioned): quadratic
+    least-squares seed (max err 5.4e-4), 3 steps reach ~1e-16.
+
+    Both derive s = sqrt(1 - c^2) from the ROUNDED c. Near m = 1 (a
+    degenerate matrix) this deliberately snaps s to 0 whenever c rounds to
+    exactly 1: m itself carries ~ulp-level error from the p2/det
+    cancellation there, so a "more faithful" s = sqrt(1-m)*S(m) would only
+    inflate that noise into a sqrt(ulp)-sized spurious eigenvalue split,
+    where snapping collapses to the (nearly correct) degenerate answer —
+    matching the reference's r >= 1 clamp behavior
+    (Symmetric3x3EigenvalueSolver.h:108-116).
     """
-    dt = r.dtype
-    m = jnp.abs(r)
-    c = jnp.asarray(0.86656125, dt) + m * (
-        jnp.asarray(0.15958996, dt) - jnp.asarray(0.0265687, dt) * m
-    )
-    for _ in range(2 if dt == jnp.float32 else 3):
-        c2 = c * c
-        c = c - ((4 * c2 - 3) * c - m) / (12 * c2 - 3)
-    # r < 0: arccos(r) = pi - arccos(m);
-    # cos((pi - psi)/3) = c/2 + (sqrt(3)/2) sqrt(1 - c^2), psi = arccos(m)
-    half = jnp.asarray(0.5, dt)
-    s32 = jnp.asarray(np.sqrt(3.0) / 2.0, dt)
+    dt = m.dtype
+    if dt == jnp.float32:
+        c = _horner(_COS13_COEF, m)
+        # One divide-free Newton polish on 4c^3 - 3c = m: the reciprocal
+        # 1/(12c^2 - 3) is a quadratic fit in y = c^2 (rel err 3.6e-3 on
+        # c in [cos(pi/6), 1]), giving step error ~ 3.6e-3 * 6.8e-8 —
+        # lands on the correctly-rounded root (ties the old 2-divide
+        # Newton) at a cost of 5 FMAs instead of a VPU divide.
+        y = c * c
+        g = jnp.asarray(0.5951957727093505, dt) + y * (
+            jnp.asarray(-0.8371248718026527, dt)
+            + jnp.asarray(0.353440250822755, dt) * y
+        )
+        c = c - ((4 * y - 3) * c - m) * g
+    else:
+        c = jnp.asarray(0.86656125, dt) + m * (
+            jnp.asarray(0.15958996, dt) - jnp.asarray(0.0265687, dt) * m
+        )
+        for _ in range(3):
+            c2 = c * c
+            c = c - ((4 * c2 - 3) * c - m) / (12 * c2 - 3)
     s = jnp.sqrt(jnp.maximum(1 - c * c, jnp.asarray(0, dt)))
-    return jnp.where(r >= 0, c, half * c + s32 * s)
+    return c, s
 
 
 def eigenvalues_from_channels(a11, a12, a13, a22, a23, a33, use_trig=True):
@@ -121,13 +158,17 @@ def eigenvalues_from_channels(a11, a12, a13, a22, a23, a33, use_trig=True):
         cphi = jnp.cos(phi)
         cphi2 = jnp.cos(phi + pi * jnp.asarray(2.0 / 3.0, dt))
     else:
-        # trig-free path (Pallas TPU; identical to ~1e-15):
-        # cos(phi + 2pi/3) = -cphi/2 - (sqrt(3)/2) sin(phi)
-        cphi = _cos_third_arccos(rc)
-        sphi = jnp.sqrt(jnp.maximum(1 - cphi * cphi, jnp.asarray(0, dt)))
-        cphi2 = -jnp.asarray(0.5, dt) * cphi - jnp.asarray(
-            np.sqrt(3.0) / 2.0, dt
-        ) * sphi
+        # trig-free path (Pallas TPU; identical to ~1e-15). For r < 0 use
+        # arccos(r) = pi - arccos(|r|) and the angle-difference identities
+        # cos(pi/3 - t) = c/2 + (sqrt3/2) s, sin(pi/3 - t) = (sqrt3/2) c - s/2
+        # — no second sqrt. cos(phi + 2pi/3) = -cphi/2 - (sqrt3/2) sin(phi).
+        half = jnp.asarray(0.5, dt)
+        s32 = jnp.asarray(np.sqrt(3.0) / 2.0, dt)
+        cm, sm = _cos_sin_third_arccos(jnp.abs(rc))
+        pos = rc >= 0
+        cphi = jnp.where(pos, cm, half * cm + s32 * sm)
+        sphi = jnp.where(pos, sm, s32 * cm - half * sm)
+        cphi2 = -half * cphi - s32 * sphi
     g0 = q + 2 * p * cphi
     g2 = q + 2 * p * cphi2
     g1 = 3 * q - g0 - g2  # trace identity
