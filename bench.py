@@ -28,12 +28,16 @@ def _device_kind():
     return d.platform, d.device_kind
 
 
-def bench_tpu(shape, iters=5, use_fused=True):
-    """Per-iteration device time for the full feature-volume materialization.
+def bench_tpu(shape, inner=10, reps=3, use_fused=True):
+    """Per-pass device time for the full feature-volume materialization.
 
-    The axon tunnel's block_until_ready returns early, so each iteration
-    fetches a checksum scalar that data-depends on the materialized output
-    (true completion), and the measured RPC round-trip floor is subtracted.
+    Timing through the axon tunnel is noisy (RPC floor ~25-45 ms,
+    block_until_ready returns early, pool contention), so the kernel is
+    invoked `inner` times INSIDE one jit with a serial data dependence
+    (each pass consumes the previous pass's first output channel) and the
+    loop is timed as a unit via a data-dependent scalar fetch; per-pass
+    time = loop time / inner, best of `reps` (RPC jitter is amortized to
+    noise/inner and can only inflate, never deflate, the result).
     """
     import jax
     import jax.numpy as jnp
@@ -47,36 +51,24 @@ def bench_tpu(shape, iters=5, use_fused=True):
     on_tpu = jax.devices()[0].platform == "tpu" and use_fused
 
     if on_tpu:
-        @jax.jit
-        def fn(v):
-            outs = fused_hessian_eig(v, (0.78, 0.78, 1.0), stack=False)
-            return outs, outs[0][0].sum()
+        def one_pass(v):
+            return fused_hessian_eig(v, (0.78, 0.78, 1.0), stack=False)[0]
     else:
-        @jax.jit
-        def fn(v):
-            out = hessian_eig_features(v, (0.78, 0.78, 1.0))
-            return out, out[..., 0].sum()
+        def one_pass(v):
+            return hessian_eig_features(v, (0.78, 0.78, 1.0))[..., 0]
 
     @jax.jit
-    def tiny(v):
-        return v.sum()
+    def loop(v):
+        out = jax.lax.fori_loop(0, inner, lambda _, c: one_pass(c), v)
+        return out[0, 0].sum()  # data-dependent completion witness
 
-    small = jnp.ones(8)
-    float(tiny(small))  # warm
-    t0 = time.perf_counter()
-    for _ in range(10):
-        float(tiny(small))
-    rpc_floor = (time.perf_counter() - t0) / 10
-
-    _, c = fn(x)
-    float(c)  # compile + warm
+    float(loop(x))  # compile + warm
     times = []
-    for _ in range(iters):
+    for _ in range(reps):
         t0 = time.perf_counter()
-        _, c = fn(x)
-        float(c)
+        float(loop(x))
         times.append(time.perf_counter() - t0)
-    dt = max(float(np.median(times)) - rpc_floor, 1e-9)
+    dt = min(times) / inner
     return float(np.prod(shape)) / dt
 
 

@@ -1,4 +1,4 @@
-"""Probe: fused_hessian_eig with the divide-free poly eigen, block 16 vs 32.
+"""Probe: fused_hessian_eig block-shape sweep (halo-amplification study).
 
 PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/probe2.py
 """
@@ -44,7 +44,7 @@ def main():
     x = jax.random.normal(jax.random.PRNGKey(0), shape, dtype=jnp.float32)
     x.block_until_ready()
     vox = float(np.prod(shape))
-    for blk in (16, 32):
+    for blk in ((8, 32), (8, 32), (16, 32), (8, 64)):
         try:
             dt = time_fn(
                 lambda v: fused_hessian_eig(v, (0.78, 0.78, 1.0),

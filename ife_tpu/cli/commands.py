@@ -81,7 +81,7 @@ def run_extract_features(args):
     written as <out>_scale_<s><FeatureName>.nii.gz."""
     import jax
     import jax.numpy as jnp
-    from ife_tpu.ops.features import features8_jit, FEATURE_NAMES
+    from ife_tpu.ops.features import features8_auto, FEATURE_NAMES
     from ife_tpu.utils import stage_timer
 
     vol = _load(args.image)
@@ -105,8 +105,8 @@ def run_extract_features(args):
                 feats = np.asarray(features8_sharded_auto(
                     img, msk, float(s), mesh, vol.spacing))
             else:
-                feats = np.asarray(features8_jit(
-                    img, msk, sigma=float(s), spacing=vol.spacing))
+                feats = np.asarray(features8_auto(
+                    img, msk, float(s), vol.spacing))
         for c, name in enumerate(FEATURE_NAMES):
             out = vol.with_data(feats[..., c])
             _save(f"{args.out}_scale_{s:g}{name}.nii.gz", out)
@@ -315,7 +315,7 @@ def run_determine_bin_edges(args):
     of masked feature voxels from all listed images."""
     import jax.numpy as jnp
     from ife_tpu.io import read_pair_list, write_hist_spec
-    from ife_tpu.ops.features import features8_jit, FEATURE_NAMES, NUM_FEATURES
+    from ife_tpu.ops.features import features8_auto, FEATURE_NAMES, NUM_FEATURES
     from ife_tpu.stats.equalize import determine_edges_for_equalized_histogram
 
     pairs = read_pair_list(args.pair_list)
@@ -331,7 +331,7 @@ def run_determine_bin_edges(args):
         msk = jnp.asarray(fg.astype(np.uint8))
         for i, s in enumerate(args.scales):
             feats = np.asarray(
-                features8_jit(img, msk, sigma=float(s), spacing=vol.spacing)
+                features8_auto(img, msk, float(s), vol.spacing)
             )
             sel = feats[fg]  # (n, 8)
             if args.samples > 0 and sel.shape[0] > args.samples:

@@ -194,7 +194,7 @@ def _pick_n_buf(bx: int, by: int, wy: int, Z: int, n_out: int,
 def fused_hessian_eig(
     x: jax.Array,
     spacing: Sequence[float] = (1.0, 1.0, 1.0),
-    block: int = 16,
+    block=(8, 128),
     interpret: bool = False,
     stack: bool = True,
 ):
@@ -203,7 +203,9 @@ def fused_hessian_eig(
     Args:
       x: (X, Y, Z) float volume.
       spacing: physical voxel spacing (hx, hy, hz).
-      block: target block edge for the X/Y grid (divisor of X/Y is chosen).
+      block: target block edge for the X/Y grid, an int or an (bx, by)
+        tuple (largest divisors of X/Y are chosen). Wide Y blocks cut the
+        halo-window read amplification ((bx+2)/bx * wy/by).
       interpret: run the Pallas interpreter (CPU testing).
       stack: True -> single (6, X, Y, Z) array (channel-first; cheap
         device-side stack); False -> tuple of six (X, Y, Z) arrays.
@@ -213,9 +215,17 @@ def fused_hessian_eig(
       ordered |e3| <= |e2| <= |e1|. jnp.moveaxis(out, 0, -1) matches
       eigenvalue_features(hessian(x)).
     """
-    X, Y, Z = x.shape
-    bx = _pick_block(X, block)
-    by = _pick_block(Y, block)
+    X, Y, Zin = x.shape
+    # the manual DMA window's lane extent must be a multiple of the lane
+    # tile (128) or Mosaic rejects the memref slice; edge-pad Z up (exactly
+    # ZeroFluxNeumann: the clamp shifts see the replicated plane) and
+    # slice the outputs back
+    Z = Zin if interpret else -(-Zin // 128) * 128
+    if Z != Zin:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, Z - Zin)), mode="edge")
+    tx, ty = (block, block) if isinstance(block, int) else block
+    bx = _pick_block(X, tx)
+    by = _pick_block(Y, ty)
     wy = -(-(by + 2) // 8) * 8  # sublane-aligned DMA window extent
     hx, hy, hz = (float(s) for s in spacing)
 
@@ -247,6 +257,8 @@ def fused_hessian_eig(
         ),
         interpret=interpret,
     )(xp)
+    if Z != Zin:
+        outs = [o[..., :Zin] for o in outs]
     if stack:
         return jnp.stack(outs, axis=0)
     return tuple(outs)
@@ -262,7 +274,7 @@ def fused_features8(
     sigma: float,
     spacing: Sequence[float] = (1.0, 1.0, 1.0),
     truncate: float = 4.5,
-    block: int = 16,
+    block=(8, 128),
     interpret: bool = False,
     stack: bool = True,
 ):
@@ -284,9 +296,15 @@ def fused_features8(
         image, m.astype(image.dtype), sigma, spacing, truncate
     )
 
-    X, Y, Z = s.shape
-    bx = _pick_block(X, block)
-    by = _pick_block(Y, block)
+    X, Y, Zin = s.shape
+    # lane-tile alignment of the DMA window (see fused_hessian_eig)
+    Z = Zin if interpret else -(-Zin // 128) * 128
+    if Z != Zin:
+        s = jnp.pad(s, ((0, 0), (0, 0), (0, Z - Zin)), mode="edge")
+        m = jnp.pad(m, ((0, 0), (0, 0), (0, Z - Zin)), mode="edge")
+    tx, ty = (block, block) if isinstance(block, int) else block
+    bx = _pick_block(X, tx)
+    by = _pick_block(Y, ty)
     wy = -(-(by + 2) // 8) * 8
     hx, hy, hz = (float(v) for v in spacing)
     sp = jnp.pad(s, ((1, 1), (1, wy - by - 1), (0, 0)), mode="edge")
@@ -315,6 +333,8 @@ def fused_features8(
         ),
         interpret=interpret,
     )(sp, m)
+    if Z != Zin:
+        outs = [o[..., :Zin] for o in outs]
     if stack:
         return jnp.stack(outs, axis=0)
     return tuple(outs)

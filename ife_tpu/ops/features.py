@@ -94,6 +94,23 @@ def features8_jit(image, mask, *, sigma, spacing=(1.0, 1.0, 1.0), truncate=4.5):
     return features8(image, mask, sigma, spacing, truncate)
 
 
+def features8_auto(image, mask, sigma, spacing=(1.0, 1.0, 1.0), truncate=4.5):
+    """features8 with automatic backend dispatch: the fused Pallas kernel
+    on TPU (one VMEM round trip for everything after the smoothing), the
+    XLA-composed expression elsewhere. Returns (X, Y, Z, 8) either way."""
+    if jax.devices()[0].platform == "tpu" and image.ndim == 3:
+        from ife_tpu.kernels.fused import fused_features8
+
+        out = fused_features8(
+            image, mask, float(sigma), tuple(spacing), truncate, stack=True
+        )
+        return jnp.moveaxis(out, 0, -1)
+    return features8_jit(
+        image, mask, sigma=float(sigma), spacing=tuple(spacing),
+        truncate=truncate,
+    )
+
+
 def multiscale_features(
     image: jnp.ndarray,
     mask: jnp.ndarray,

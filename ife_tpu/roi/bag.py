@@ -21,7 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ife_tpu.ops.features import features8, NUM_FEATURES
+from ife_tpu.ops.features import features8_auto, NUM_FEATURES
 from ife_tpu.roi.generate import ROI
 from ife_tpu.stats.histogram import histogram_counts
 
@@ -75,7 +75,7 @@ def make_bag(
 
     for i, sigma in enumerate(sigmas):
         feats = np.asarray(
-            features8(img_dev, mask_dev, float(sigma), tuple(spacing))
+            features8_auto(img_dev, mask_dev, float(sigma), tuple(spacing))
         )
         edges_block = np.stack(
             [np.asarray(hist_edges[i * NUM_FEATURES + k], dtype=np.float64)
@@ -169,7 +169,7 @@ def make_bag_device(
     starts = jnp.asarray([r.index for r in rois])
     blocks = []
     for i, sigma in enumerate(sigmas):
-        feats = features8(img_dev, mask_dev, float(sigma), tuple(spacing))
+        feats = features8_auto(img_dev, mask_dev, float(sigma), tuple(spacing))
         edges_block = np.stack([
             np.asarray(hist_edges[i * NUM_FEATURES + k], dtype=np.float64)
             for k in range(NUM_FEATURES)
