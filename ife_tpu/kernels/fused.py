@@ -189,7 +189,8 @@ def _pick_n_buf(bx: int, by: int, wy: int, Z: int, n_out: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("spacing", "block", "interpret", "stack")
+    jax.jit, static_argnames=("spacing", "block", "interpret", "stack",
+                              "pre_padded")
 )
 def fused_hessian_eig(
     x: jax.Array,
@@ -197,6 +198,7 @@ def fused_hessian_eig(
     block=(8, 128),
     interpret: bool = False,
     stack: bool = True,
+    pre_padded: bool = False,
 ):
     """Six eigen features of the Hessian in one fused HBM pass.
 
@@ -209,13 +211,19 @@ def fused_hessian_eig(
       interpret: run the Pallas interpreter (CPU testing).
       stack: True -> single (6, X, Y, Z) array (channel-first; cheap
         device-side stack); False -> tuple of six (X, Y, Z) arrays.
+      pre_padded: x already carries a radius-1 boundary layer on X and Y
+        ((X+2, Y+2, Z) for an (X, Y, Z) core) — e.g. a halo-extended shard
+        block; skips the internal edge pad.
 
     Returns:
       [e1, e2, e3, LoG, GaussianCurvature, FrobeniusNorm], eigenvalues
       ordered |e3| <= |e2| <= |e1|. jnp.moveaxis(out, 0, -1) matches
       eigenvalue_features(hessian(x)).
     """
-    X, Y, Zin = x.shape
+    if pre_padded:
+        X, Y, Zin = x.shape[0] - 2, x.shape[1] - 2, x.shape[2]
+    else:
+        X, Y, Zin = x.shape
     # the manual DMA window's lane extent must be a multiple of the lane
     # tile (128) or Mosaic rejects the memref slice; edge-pad Z up (exactly
     # ZeroFluxNeumann: the clamp shifts see the replicated plane) and
@@ -233,7 +241,10 @@ def fused_hessian_eig(
     # edges get ZeroFluxNeumann — one cheap fused pad pass. The y hi-pad is
     # widened so the aligned DMA window stays in bounds; the slack voxels
     # never reach an output.
-    xp = jnp.pad(x, ((1, 1), (1, wy - by - 1), (0, 0)), mode="edge")
+    if pre_padded:
+        xp = jnp.pad(x, ((0, 0), (0, wy - by - 2), (0, 0)), mode="edge")
+    else:
+        xp = jnp.pad(x, ((1, 1), (1, wy - by - 1), (0, 0)), mode="edge")
 
     n_buf = _pick_n_buf(bx, by, wy, Z, 6, x.dtype.itemsize)
     kernel = functools.partial(
@@ -295,8 +306,37 @@ def fused_features8(
     s = normalized_gaussian_convolution(
         image, m.astype(image.dtype), sigma, spacing, truncate
     )
+    return fused_features8_post(
+        s, m, spacing, block=block, interpret=interpret, stack=stack
+    )
 
-    X, Y, Zin = s.shape
+
+@functools.partial(
+    jax.jit, static_argnames=("spacing", "block", "interpret", "stack",
+                              "pre_padded")
+)
+def fused_features8_post(
+    s: jax.Array,
+    m: jax.Array,
+    spacing: Sequence[float] = (1.0, 1.0, 1.0),
+    block=(8, 128),
+    interpret: bool = False,
+    stack: bool = True,
+    pre_padded: bool = False,
+):
+    """The post-smoothing features8 stage as one Pallas pass: smoothed
+    volume -> [smoothed, |grad|, 6 eigen features], masked.
+
+    pre_padded=True: `s` already carries a radius-1 boundary layer on X and
+    Y ((X+2, Y+2, Z) for an (X, Y, Z) core) — e.g. a halo-extended shard
+    block from ife_tpu.parallel.halo (real neighbor slabs interior, edge
+    replication at true volume faces); `m` is the (X, Y, Z) core mask.
+    This is what lets the sharded path run the same kernel per shard.
+    """
+    if pre_padded:
+        X, Y, Zin = s.shape[0] - 2, s.shape[1] - 2, s.shape[2]
+    else:
+        X, Y, Zin = s.shape
     # lane-tile alignment of the DMA window (see fused_hessian_eig)
     Z = Zin if interpret else -(-Zin // 128) * 128
     if Z != Zin:
@@ -307,7 +347,11 @@ def fused_features8(
     by = _pick_block(Y, ty)
     wy = -(-(by + 2) // 8) * 8
     hx, hy, hz = (float(v) for v in spacing)
-    sp = jnp.pad(s, ((1, 1), (1, wy - by - 1), (0, 0)), mode="edge")
+    if pre_padded:
+        # only the Y-hi slack for the sublane-aligned DMA window is missing
+        sp = jnp.pad(s, ((0, 0), (0, wy - by - 2), (0, 0)), mode="edge")
+    else:
+        sp = jnp.pad(s, ((1, 1), (1, wy - by - 1), (0, 0)), mode="edge")
 
     # 9 VMEM block streams: 8 outputs + the mask input block
     n_buf = _pick_n_buf(bx, by, wy, Z, 9, s.dtype.itemsize)

@@ -150,6 +150,38 @@ def _band_matrix(n: int, sigma_vox: float, radius: int) -> np.ndarray:
     return W
 
 
+@functools.lru_cache(maxsize=1024)
+def _band_matrix_valid(n_in: int, sigma_vox: float, radius: int) -> np.ndarray:
+    """(n_in - 2*radius, n_in) VALID band matrix: W[o, o+t] = taps[t]."""
+    taps = _gaussian_taps(sigma_vox, radius)
+    n_out = n_in - 2 * radius
+    W = np.zeros((n_out, n_in), dtype=np.float64)
+    for t_idx, t in enumerate(taps):
+        W[np.arange(n_out), np.arange(n_out) + t_idx] = t
+    return W
+
+
+def _on_tpu() -> bool:
+    return jax.devices()[0].platform == "tpu"
+
+
+def _einsum_axis(W: jnp.ndarray, x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Contract W (n_out, n_in) against x along `axis` on the MXU.
+
+    On TPU a banded-matrix matmul beats the conv lowering ~5x at 512^3
+    (benchmarks/probe5.py: 6.4 ms vs 34 ms per volume-axis pass) — the MXU
+    eats the O(n)-vs-O(K) FLOP overhead for free while the conv path pays
+    VPU relayouts/transposes per axis.
+    """
+    letters = "abcdefghij"
+    in_sub = letters[: x.ndim]
+    out_sub = in_sub.replace(in_sub[axis], "o")
+    return jnp.einsum(
+        f"o{in_sub[axis]},{in_sub}->{out_sub}", W, x,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def _conv1d_valid(x_last: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
     """VALID 1D convolution along the last axis: (..., n+K-1) -> (..., n).
 
@@ -165,6 +197,23 @@ def _conv1d_valid(x_last: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
         preferred_element_type=x_last.dtype,
     )
     return out.reshape(lead + (out.shape[-1],))
+
+
+def convolve_valid_axis(
+    x_ext: jnp.ndarray, axis: Axis, sigma_vox: float, radius: int
+) -> jnp.ndarray:
+    """VALID Gaussian along `axis` of an already-extended array
+    ((..., n+2*radius, ...) -> (..., n, ...)). TPU: banded MXU contraction;
+    elsewhere: 1D conv. Used by the sharded halo path."""
+    if _on_tpu():
+        W = jnp.asarray(
+            _band_matrix_valid(x_ext.shape[axis], sigma_vox, radius),
+            dtype=x_ext.dtype,
+        )
+        return _einsum_axis(W, x_ext, axis)
+    taps = jnp.asarray(_gaussian_taps(sigma_vox, radius), dtype=x_ext.dtype)
+    y = _conv1d_valid(jnp.moveaxis(x_ext, axis, -1), taps)
+    return jnp.moveaxis(y, -1, axis)
 
 
 def gaussian_smooth_axis(
@@ -183,6 +232,14 @@ def gaussian_smooth_axis(
         return x
     sigma_vox = float(sigma) / float(spacing)
     radius = gaussian_radius(sigma_vox, truncate)
+    if _on_tpu():
+        # square band matrix with the edge replication folded into the
+        # boundary rows — no pad pass, one MXU contraction (see
+        # _einsum_axis; identical to the conv path to f32 roundoff)
+        W = jnp.asarray(
+            _band_matrix(x.shape[axis], sigma_vox, radius), dtype=x.dtype
+        )
+        return _einsum_axis(W, x, axis)
     taps = jnp.asarray(_gaussian_taps(sigma_vox, radius), dtype=x.dtype)
     xp = _edge_pad(x, axis, radius, radius)
     y = _conv1d_valid(jnp.moveaxis(xp, axis, -1), taps)

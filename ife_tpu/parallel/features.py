@@ -51,10 +51,8 @@ def _smooth_axis_block(
         return x
     sigma_vox = float(sigma) / float(spacing)
     radius = stencil.gaussian_radius(sigma_vox, truncate)
-    taps = jnp.asarray(stencil._gaussian_taps(sigma_vox, radius), dtype=x.dtype)
     x_ext = halo_exchange(x, axis, radius, axis_name)
-    y = stencil._conv1d_valid(jnp.moveaxis(x_ext, axis, -1), taps)
-    return jnp.moveaxis(y, -1, axis)
+    return stencil.convolve_valid_axis(x_ext, axis, sigma_vox, radius)
 
 
 # ---------------------------------------------------------------------------
@@ -135,6 +133,19 @@ def _grad_hessian_block(
     return gm, H
 
 
+def _halo_or_edge_pad(arr: jnp.ndarray, sharded_axes: Dict[int, str],
+                      radius: int = 1) -> jnp.ndarray:
+    """Extend X and Y by `radius`: ppermute halos on sharded axes (true
+    faces edge-replicated inside halo_exchange), edge pad on local ones —
+    exactly the boundary layer the pre_padded fused kernels consume."""
+    for axis in (0, 1):
+        if axis in sharded_axes:
+            arr = halo_exchange(arr, axis, radius, sharded_axes[axis])
+        else:
+            arr = stencil._edge_pad(arr, axis, radius, radius)
+    return arr
+
+
 def _features8_block(
     img: jnp.ndarray,
     msk: jnp.ndarray,
@@ -142,6 +153,7 @@ def _features8_block(
     spacing: Sequence[float],
     truncate: float,
     sharded_axes: Dict[int, str],
+    use_fused: bool = False,
 ) -> jnp.ndarray:
     m = jnp.clip(msk, 0, 1)
     mf = m.astype(img.dtype)
@@ -158,6 +170,17 @@ def _features8_block(
             )
     s = stacked[..., 0] / stacked[..., 1]
 
+    if use_fused:
+        # per-shard Pallas kernel: the halo-extended block IS the
+        # pre-padded input the fused post-smoothing pass expects
+        from ife_tpu.kernels.fused import fused_features8_post
+
+        s_ext = _halo_or_edge_pad(s, sharded_axes)
+        out = fused_features8_post(
+            s_ext, m, tuple(spacing), pre_padded=True, stack=True
+        )
+        return jnp.moveaxis(out, 0, -1)
+
     gm, H = _grad_hessian_block(s, sharded_axes, spacing)
     eig = eigenvalue_features(H)
     feats = jnp.concatenate([s[..., None], gm[..., None], eig], axis=-1)
@@ -173,6 +196,14 @@ def _sharded_axis_map(mesh: Mesh) -> Dict[int, str]:
     return {i: name for i, name in enumerate(mesh.axis_names)}
 
 
+def _resolve_use_fused(use_fused) -> bool:
+    """None -> fused Pallas per-shard kernels on TPU, XLA elsewhere (the
+    interpreter-free fused path cannot run on a CPU mesh)."""
+    if use_fused is None:
+        return jax.devices()[0].platform == "tpu"
+    return bool(use_fused)
+
+
 def sharded_features8(
     image: jax.Array,
     mask: jax.Array,
@@ -180,6 +211,7 @@ def sharded_features8(
     mesh: Mesh,
     spacing: Sequence[float] = (1.0, 1.0, 1.0),
     truncate: float = 4.5,
+    use_fused=None,
 ) -> jax.Array:
     """features8 over a block-sharded volume. Returns (X, Y, Z, 8) sharded
     like the input."""
@@ -194,10 +226,14 @@ def sharded_features8(
             spacing=tuple(float(v) for v in spacing),
             truncate=float(truncate),
             sharded_axes=saxes,
+            use_fused=_resolve_use_fused(use_fused),
         ),
         mesh=mesh,
         in_specs=(pspec, pspec),
         out_specs=out_spec,
+        # pallas_call's ShapeDtypeStruct outputs carry no vma annotation;
+        # the body's collectives are hand-placed, so skip the vma check
+        check_vma=False,
     )
     return fn(image, mask)
 
@@ -206,17 +242,29 @@ def sharded_hessian_eig(
     image: jax.Array,
     mesh: Mesh,
     spacing: Sequence[float] = (1.0, 1.0, 1.0),
+    use_fused=None,
 ) -> jax.Array:
     """Hessian -> 6 eigen features of a sharded raw volume: the scaling
     benchmark path (BASELINE.md configs). Returns (X, Y, Z, 6)."""
     pspec = volume_pspec(mesh)
     saxes = _sharded_axis_map(mesh)
+    fused = _resolve_use_fused(use_fused)
 
     def block(img):
+        if fused:
+            from ife_tpu.kernels.fused import fused_hessian_eig
+
+            ext = _halo_or_edge_pad(img, saxes)
+            out = fused_hessian_eig(
+                ext, tuple(float(v) for v in spacing),
+                pre_padded=True, stack=True,
+            )
+            return jnp.moveaxis(out, 0, -1)
         _, H = _grad_hessian_block(img, saxes, tuple(float(v) for v in spacing))
         return eigenvalue_features(H)
 
-    fn = shard_map(block, mesh=mesh, in_specs=(pspec,), out_specs=P(*pspec, None))
+    fn = shard_map(block, mesh=mesh, in_specs=(pspec,),
+                   out_specs=P(*pspec, None), check_vma=False)
     return fn(image)
 
 
