@@ -103,3 +103,39 @@ def test_normalized_convolution_constant_inside():
         stencil.normalized_gaussian_convolution(x, jnp.asarray(mask), 2.0)
     )
     np.testing.assert_allclose(got[mask != 0], -321.5, rtol=1e-9)
+
+
+def test_band_matrix_paths_match_conv():
+    # The TPU smoothing path contracts banded matrices on the MXU
+    # (stencil._band_matrix / _band_matrix_valid + _einsum_axis); CI runs
+    # on CPU where the conv path is taken, so check the matrices
+    # themselves reproduce the conv path bit-for-bit in f64.
+    import numpy as np
+    import jax.numpy as jnp
+    from ife_tpu.ops import stencil
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((17, 13, 21)))
+    sigma, spacing = 1.3, (0.8, 1.0, 1.4)
+    want = stencil.gaussian_smooth(x, sigma, spacing)
+
+    got = x
+    for axis in range(3):
+        sv = sigma / spacing[axis]
+        r = stencil.gaussian_radius(sv)
+        W = jnp.asarray(stencil._band_matrix(got.shape[axis], sv, r))
+        got = stencil._einsum_axis(W, got, axis)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-12)
+
+    # VALID variant: extended input (edge-padded here, halo slabs in the
+    # sharded path) -> kept region equals the edge-folded square result
+    sv = sigma / spacing[0]
+    r = stencil.gaussian_radius(sv)
+    x_ext = stencil._edge_pad(x, 0, r, r)
+    Wv = jnp.asarray(stencil._band_matrix_valid(x_ext.shape[0], sv, r))
+    got_v = stencil._einsum_axis(Wv, x_ext, 0)
+    W0 = jnp.asarray(stencil._band_matrix(x.shape[0], sv, r))
+    np.testing.assert_allclose(
+        np.asarray(got_v), np.asarray(stencil._einsum_axis(W0, x, 0)),
+        rtol=0, atol=1e-12)
