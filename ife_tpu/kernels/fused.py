@@ -90,7 +90,8 @@ def _stencil_block(s, hx, hy, hz):
     trace time, exactly like ops.stencil.derivative) — VPU divides run at
     a fraction of mul throughput and this kernel is VPU-bound.
 
-    Returns (core, dxx, dyy, dzz, dxy, dxz, dyz, dx_c, dy), each (bx, by, Z).
+    Returns (core, dxx, dyy, dzz, dxy, dxz, dyz, dx_c, dy, dz_c), each
+    (bx, by, Z).
     """
     dt = s.dtype
     r2x = jnp.asarray(1.0 / (2.0 * hx), dt)
@@ -103,28 +104,41 @@ def _stencil_block(s, hx, hy, hz):
     core = s[1:-1, 1:-1, :]
     dxx = (s[2:, 1:-1, :] - 2 * core + s[:-2, 1:-1, :]) * rxx
     dyy = (s[1:-1, 2:, :] - 2 * core + s[1:-1, :-2, :]) * ryy
-    dzz = (_clamp_shift_z(core, 1) - 2 * core + _clamp_shift_z(core, -1)) * rzz
 
-    # cascaded cross derivatives (two radius-1 passes, like the reference)
+    # ONE pair of window-wide lane shifts serves dzz, dxz, dyz (and the
+    # gradient's z component): lane relayouts are the expensive vector ops
+    # here, and mixed central differences with clamped boundaries commute
+    # exactly (same clamped index set as the reference's cascade order;
+    # only f32 association differs, at the ulp level).
+    s_p = _clamp_shift_z(s, 1)
+    s_m = _clamp_shift_z(s, -1)
+    dz_w = (s_p - s_m) * r2z                          # (bx+2, by+2, Z)
+    dzz = (
+        s_p[1:-1, 1:-1, :] - 2 * core + s_m[1:-1, 1:-1, :]
+    ) * rzz
+    dxz = (dz_w[2:, 1:-1, :] - dz_w[:-2, 1:-1, :]) * r2x
+    dyz = (dz_w[1:-1, 2:, :] - dz_w[1:-1, :-2, :]) * r2y
+
+    # cascaded cross derivative (two radius-1 passes, like the reference)
     dx = (s[2:, :, :] - s[:-2, :, :]) * r2x          # (bx, by+2, Z)
     dxy = (dx[:, 2:, :] - dx[:, :-2, :]) * r2y       # (bx, by, Z)
     dx_c = dx[:, 1:-1, :]
-    dxz = (_clamp_shift_z(dx_c, 1) - _clamp_shift_z(dx_c, -1)) * r2z
     dy = (s[1:-1, 2:, :] - s[1:-1, :-2, :]) * r2y    # (bx, by, Z)
-    dyz = (_clamp_shift_z(dy, 1) - _clamp_shift_z(dy, -1)) * r2z
-    return core, dxx, dyy, dzz, dxy, dxz, dyz, dx_c, dy
+    dz_c = dz_w[1:-1, 1:-1, :]
+    return core, dxx, dyy, dzz, dxy, dxz, dyz, dx_c, dy, dz_c
 
 
 def _kernel(x_hbm, o0, o1, o2, o3, o4, o5, scratch, sem, *, bx, by, wy,
             hx, hy, hz, n_buf):
     win = _window_pipeline(x_hbm, scratch, sem, bx, by, wy, n_buf)
     s = win[:, : by + 2, :]  # (bx+2, by+2, Z)
-    _, dxx, dyy, dzz, dxy, dxz, dyz, _, _ = _stencil_block(s, hx, hy, hz)
+    _, dxx, dyy, dzz, dxy, dxz, dyz, _, _, _ = _stencil_block(s, hx, hy, hz)
 
     # channel order [Dxx, Dxy, Dxz, Dyy, Dyz, Dzz] == packed [A11..A33];
-    # use_trig=False: Newton trisection (no acos in Mosaic)
+    # use_trig=False: polynomial path (no acos in Mosaic); diag_path=False:
+    # scalar-matrix guard only (select network is measurable VPU time)
     feats = eigenvalue_feature_channels(
-        dxx, dxy, dxz, dyy, dyz, dzz, use_trig=False
+        dxx, dxy, dxz, dyy, dyz, dzz, use_trig=False, diag_path=False
     )
     for ref, val in zip((o0, o1, o2, o3, o4, o5), feats):
         ref[:] = val
@@ -138,16 +152,13 @@ def _features8_kernel(s_hbm, m_ref, o0, o1, o2, o3, o4, o5, o6, o7,
     win = _window_pipeline(s_hbm, scratch, sem, bx, by, wy, n_buf)
     s = win[:, : by + 2, :]
     dt = s.dtype
-    core, dxx, dyy, dzz, dxy, dxz, dyz, dx_c, dy = _stencil_block(
+    core, dxx, dyy, dzz, dxy, dxz, dyz, dx_c, dy, dz_c = _stencil_block(
         s, hx, hy, hz
     )
-
-    r2z = jnp.asarray(1.0 / (2.0 * hz), dt)
-    gz = (_clamp_shift_z(core, 1) - _clamp_shift_z(core, -1)) * r2z
-    gm = jnp.sqrt(dx_c * dx_c + dy * dy + gz * gz)
+    gm = jnp.sqrt(dx_c * dx_c + dy * dy + dz_c * dz_c)
 
     feats = eigenvalue_feature_channels(
-        dxx, dxy, dxz, dyy, dyz, dzz, use_trig=False
+        dxx, dxy, dxz, dyy, dyz, dzz, use_trig=False, diag_path=False
     )
     inside = m_ref[:] != 0
     zero = jnp.asarray(0, dt)

@@ -121,10 +121,18 @@ def _cos_sin_third_arccos(m: jnp.ndarray):
     return c, s
 
 
-def eigenvalues_from_channels(a11, a12, a13, a22, a23, a33, use_trig=True):
+def eigenvalues_from_channels(a11, a12, a13, a22, a23, a33, use_trig=True,
+                              diag_path=True):
     """Channel-wise core: six same-shape arrays -> (e0, e1, e2) tuple,
     |e2| <= |e1| <= |e0|. Used directly by the Pallas kernel (no stacking
-    inside kernels — Mosaic dislikes reshapes across the lane axis)."""
+    inside kernels — Mosaic dislikes reshapes across the lane axis).
+
+    diag_path=False drops the reference's exact diagonal branch
+    (solver.h:45-83) and keeps only a scalar-matrix (p2 == 0) guard: the
+    general closed form is correct for diagonal matrices anyway (to
+    roundoff; tie ORDER of equal-|e| channels may differ, which tests
+    already tolerate), and the ~27-select network is measurable VPU time
+    in the fused kernel. The default keeps exact reference semantics."""
     dt = a11.dtype
     pi = jnp.asarray(np.pi, dt)
 
@@ -181,6 +189,15 @@ def eigenvalues_from_channels(a11, a12, a13, a22, a23, a33, use_trig=True):
     t1 = jnp.where(s2, t2, g1)
     t2 = jnp.where(s2, g1, t2)
 
+    if not diag_path:
+        # scalar-matrix guard only: p2 == 0 means all eigenvalues are q
+        scalar = p2 == 0
+        return (
+            jnp.where(scalar, q, t0),
+            jnp.where(scalar, q, t1),
+            jnp.where(scalar, q, t2),
+        )
+
     # ---- diagonal fast path ----
     diag = p1 == 0
     e0d, e1d, e2d = _ordered_by_abs_desc_diag(a11, a22, a33)
@@ -206,11 +223,12 @@ def eigenvalues_sym3x3(A: jnp.ndarray, use_trig: bool = True) -> jnp.ndarray:
     return jnp.stack([e0, e1, e2], axis=-1)
 
 
-def eigenvalue_feature_channels(a11, a12, a13, a22, a23, a33, use_trig=True):
+def eigenvalue_feature_channels(a11, a12, a13, a22, a23, a33, use_trig=True,
+                                diag_path=True):
     """Channel-wise feature tuple (e1, e2, e3, LoG, curvature, frobenius)
     for kernel use — no stacking."""
     e0, e1, e2 = eigenvalues_from_channels(
-        a11, a12, a13, a22, a23, a33, use_trig=use_trig
+        a11, a12, a13, a22, a23, a33, use_trig=use_trig, diag_path=diag_path
     )
     s = e0 + e1 + e2
     prod = e0 * e1 * e2
