@@ -7,8 +7,9 @@ volume-sized round trips), each grid step DMAs one halo-extended (BX+2,
 BY+2, Z) slab into VMEM, computes all six second derivatives (central
 differences, cascaded cross terms — semantics of reference
 Hessian3DImageFilter.hxx:19-59) and the closed-form eigenvalues (reference
-Symmetric3x3EigenvalueSolver.h:33-132; trig-free Newton trisection since
-Mosaic has no acos) on the VPU, and writes the 6 feature channels. HBM
+Symmetric3x3EigenvalueSolver.h:33-132; trig-free polynomial path since
+Mosaic has no acos — see ops/eigen.py) on the VPU, and writes the 6
+feature channels. HBM
 traffic = read X*Y*Z + write 6*X*Y*Z — the memory-bound lower bound.
 
 Mosaic constraints shaping the design (found by bisection): no 4D blocks

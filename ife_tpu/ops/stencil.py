@@ -281,6 +281,10 @@ def normalized_gaussian_convolution(
     the reference; callers mask the result (SURVEY.md §7 hard-part 5).
     """
     c = certainty.astype(image.dtype)
+    # numerator and denominator are smoothed SEPARATELY: batching them on
+    # a stacked channel axis measures ~2x slower on TPU either way round
+    # (trailing size-2 lands on the 128-lane minor dim; leading size-2
+    # degrades the einsum's matmul tiling) — plain 3D contractions win.
     num = gaussian_smooth(image * c, sigma, spacing, truncate)
     den = gaussian_smooth(c, sigma, spacing, truncate)
     return num / den

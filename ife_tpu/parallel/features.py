@@ -157,18 +157,23 @@ def _features8_block(
 ) -> jnp.ndarray:
     m = jnp.clip(msk, 0, 1)
     mf = m.astype(img.dtype)
-    # smooth numerator and denominator together as 2 channels
-    stacked = jnp.stack([img * mf, mf], axis=-1)
-    for axis in range(3):
-        if axis in sharded_axes:
-            stacked = _smooth_axis_block(
-                stacked, axis, sharded_axes[axis], sigma, spacing[axis], truncate
-            )
-        else:
-            stacked = stencil.gaussian_smooth_axis(
-                stacked, axis, sigma, spacing[axis], truncate
-            )
-    s = stacked[..., 0] / stacked[..., 1]
+
+    # numerator and denominator smoothed separately (channel-stacking
+    # measures ~2x slower on TPU — see normalized_gaussian_convolution)
+    def smooth(vol):
+        for axis in range(3):
+            if axis in sharded_axes:
+                vol = _smooth_axis_block(
+                    vol, axis, sharded_axes[axis], sigma, spacing[axis],
+                    truncate,
+                )
+            else:
+                vol = stencil.gaussian_smooth_axis(
+                    vol, axis, sigma, spacing[axis], truncate
+                )
+        return vol
+
+    s = smooth(img * mf) / smooth(mf)
 
     if use_fused:
         # per-shard Pallas kernel: the halo-extended block IS the
