@@ -35,7 +35,7 @@ def _variant_kernel(mode, x_hbm, o0, o1, o2, o3, o4, o5, scratch, sem, *,
         for ref in (o0, o1, o2, o3, o4, o5):
             ref[:] = core
         return
-    _, dxx, dyy, dzz, dxy, dxz, dyz, _, _ = F._stencil_block(s, hx, hy, hz)
+    _, dxx, dyy, dzz, dxy, dxz, dyz, _, _, _ = F._stencil_block(s, hx, hy, hz)
     for ref, val in zip((o0, o1, o2, o3, o4, o5),
                         (dxx, dyy, dzz, dxy, dxz, dyz)):
         ref[:] = val
