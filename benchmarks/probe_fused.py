@@ -45,8 +45,8 @@ def _variant_kernel(mode, x_hbm, o0, o1, o2, o3, o4, o5, scratch, sem, *,
 def variant(x, mode, block=(8, 64)):
     X, Y, Z = x.shape
     tx, ty = (block, block) if isinstance(block, int) else block
-    bx = F._pick_block(X, tx)
-    by = F._pick_block(Y, ty)
+    bx, _ = F._pick_block(X, tx)
+    by, _ = F._pick_block(Y, ty)
     wy = -(-(by + 2) // 8) * 8
     xp = jnp.pad(x, ((1, 1), (1, wy - by - 1), (0, 0)), mode="edge")
     n_buf = F._pick_n_buf(bx, by, wy, Z, 6, x.dtype.itemsize)

@@ -174,12 +174,20 @@ def _features8_kernel(s_hbm, m_ref, o0, o1, o2, o3, o4, o5, o6, o7,
         ref[:] = jnp.where(inside, val, zero)
 
 
-def _pick_block(n: int, target: int) -> int:
-    """Largest divisor of n that is <= target (block sizes must divide)."""
+def _pick_block(n: int, target: int):
+    """(block, padded_n). Block sizes must divide the gridded extent: use
+    the largest divisor of n <= target when it is within 3/4 of the target;
+    otherwise keep the target block and edge-pad n up to a multiple (a
+    prime extent would otherwise degrade to 1-row blocks, tripling the
+    halo-window read amplification and exploding the grid — the padded
+    rows are replicates whose outputs are sliced away)."""
     b = min(target, n)
-    while n % b:
-        b -= 1
-    return b
+    d = b
+    while n % d:
+        d -= 1
+    if 4 * d >= 3 * b:
+        return d, n
+    return b, -(-n // b) * b
 
 
 # Mosaic's default scoped-VMEM limit is 16MB, but v5e has 128MB physical
@@ -244,19 +252,25 @@ def fused_hessian_eig(
     if Z != Zin:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, Z - Zin)), mode="edge")
     tx, ty = (block, block) if isinstance(block, int) else block
-    bx = _pick_block(X, tx)
-    by = _pick_block(Y, ty)
+    bx, Xp = _pick_block(X, tx)
+    by, Yp = _pick_block(Y, ty)
     wy = -(-(by + 2) // 8) * 8  # sublane-aligned DMA window extent
     hx, hy, hz = (float(s) for s in spacing)
 
     # pre-pad with edge replication so interior windows never clamp and true
     # edges get ZeroFluxNeumann — one cheap fused pad pass. The y hi-pad is
-    # widened so the aligned DMA window stays in bounds; the slack voxels
-    # never reach an output.
+    # widened so the aligned DMA window stays in bounds, and both axes are
+    # padded up to the (Xp, Yp) grid multiples; the slack voxels never reach
+    # a kept output.
     if pre_padded:
-        xp = jnp.pad(x, ((0, 0), (0, wy - by - 2), (0, 0)), mode="edge")
+        xp = jnp.pad(
+            x, ((0, Xp - X), (0, (Yp - Y) + wy - by - 2), (0, 0)), mode="edge"
+        )
     else:
-        xp = jnp.pad(x, ((1, 1), (1, wy - by - 1), (0, 0)), mode="edge")
+        xp = jnp.pad(
+            x, ((1, 1 + Xp - X), (1, (Yp - Y) + wy - by - 1), (0, 0)),
+            mode="edge",
+        )
 
     n_buf = _pick_n_buf(bx, by, wy, Z, 6, x.dtype.itemsize)
     kernel = functools.partial(
@@ -267,10 +281,10 @@ def fused_hessian_eig(
     )
     outs = pl.pallas_call(
         kernel,
-        grid=(X // bx, Y // by),
+        grid=(Xp // bx, Yp // by),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[out_spec] * 6,
-        out_shape=[jax.ShapeDtypeStruct((X, Y, Z), x.dtype)] * 6,
+        out_shape=[jax.ShapeDtypeStruct((Xp, Yp, Z), x.dtype)] * 6,
         scratch_shapes=[
             pltpu.VMEM((n_buf, bx + 2, wy, Z), x.dtype),
             pltpu.SemaphoreType.DMA((n_buf,)),
@@ -280,8 +294,8 @@ def fused_hessian_eig(
         ),
         interpret=interpret,
     )(xp)
-    if Z != Zin:
-        outs = [o[..., :Zin] for o in outs]
+    if (Xp, Yp, Z) != (X, Y, Zin):
+        outs = [o[:X, :Y, :Zin] for o in outs]
     if stack:
         return jnp.stack(outs, axis=0)
     return tuple(outs)
@@ -355,15 +369,22 @@ def fused_features8_post(
         s = jnp.pad(s, ((0, 0), (0, 0), (0, Z - Zin)), mode="edge")
         m = jnp.pad(m, ((0, 0), (0, 0), (0, Z - Zin)), mode="edge")
     tx, ty = (block, block) if isinstance(block, int) else block
-    bx = _pick_block(X, tx)
-    by = _pick_block(Y, ty)
+    bx, Xp = _pick_block(X, tx)
+    by, Yp = _pick_block(Y, ty)
     wy = -(-(by + 2) // 8) * 8
     hx, hy, hz = (float(v) for v in spacing)
     if pre_padded:
-        # only the Y-hi slack for the sublane-aligned DMA window is missing
-        sp = jnp.pad(s, ((0, 0), (0, wy - by - 2), (0, 0)), mode="edge")
+        # Y-hi slack for the sublane-aligned DMA window + grid-multiple pad
+        sp = jnp.pad(
+            s, ((0, Xp - X), (0, (Yp - Y) + wy - by - 2), (0, 0)), mode="edge"
+        )
     else:
-        sp = jnp.pad(s, ((1, 1), (1, wy - by - 1), (0, 0)), mode="edge")
+        sp = jnp.pad(
+            s, ((1, 1 + Xp - X), (1, (Yp - Y) + wy - by - 1), (0, 0)),
+            mode="edge",
+        )
+    if (Xp, Yp) != (X, Y):
+        m = jnp.pad(m, ((0, Xp - X), (0, Yp - Y), (0, 0)), mode="edge")
 
     # 9 VMEM block streams: 8 outputs + the mask input block
     n_buf = _pick_n_buf(bx, by, wy, Z, 9, s.dtype.itemsize)
@@ -376,10 +397,10 @@ def fused_features8_post(
     )
     outs = pl.pallas_call(
         kernel,
-        grid=(X // bx, Y // by),
+        grid=(Xp // bx, Yp // by),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY), blk_spec],
         out_specs=[blk_spec] * 8,
-        out_shape=[jax.ShapeDtypeStruct((X, Y, Z), s.dtype)] * 8,
+        out_shape=[jax.ShapeDtypeStruct((Xp, Yp, Z), s.dtype)] * 8,
         scratch_shapes=[
             pltpu.VMEM((n_buf, bx + 2, wy, Z), s.dtype),
             pltpu.SemaphoreType.DMA((n_buf,)),
@@ -389,8 +410,8 @@ def fused_features8_post(
         ),
         interpret=interpret,
     )(sp, m)
-    if Z != Zin:
-        outs = [o[..., :Zin] for o in outs]
+    if (Xp, Yp, Z) != (X, Y, Zin):
+        outs = [o[:X, :Y, :Zin] for o in outs]
     if stack:
         return jnp.stack(outs, axis=0)
     return tuple(outs)

@@ -31,13 +31,15 @@ def sharded_masked_histogram(
     """Global histogram counts of masked voxels of a sharded volume.
 
     values: (X, Y, Z) sharded; mask: (X, Y, Z) sharded; edges: (E,)
-    replicated. Returns replicated (E+1,) counts == the single-device
-    histogram of values[mask != 0].
+    replicated. Returns replicated (E+1,) int32 counts == the single-device
+    histogram of values[mask != 0] (integer accumulation + integer psum:
+    exact at production sizes, unlike an f32 accumulator which drops
+    increments past 2^24 per bin).
     """
     pspec = volume_pspec(mesh)
 
     def block(v, m, e):
-        w = (m != 0).astype(jnp.float32)
+        w = (m != 0).astype(jnp.int32)
         local = histogram_counts(v, e, w)
         for name in mesh.axis_names:
             local = jax.lax.psum(local, name)
@@ -52,33 +54,30 @@ def sharded_masked_histogram(
 def histogram_quantile_edges(
     counts: np.ndarray, edges: np.ndarray, n_bins: int
 ) -> np.ndarray:
-    """Approximate equal-frequency edges from dense pre-histogram counts.
+    """Approximate equal-frequency edges from reference-convention counts.
 
-    The scalable replacement for the exact global sort (documented
-    approximation switch, SURVEY.md §7 hard-part 4): linearly interpolates
-    the empirical CDF of the pre-histogram at the n_bins-1 interior
-    quantiles. Accuracy is set by the pre-histogram resolution.
+    Adapter over the one CDF-inversion spec, stats.equalize
+    .edges_from_dense_counts: `counts` has E+1 entries for E edges (the
+    reference bin convention with unbounded tail bins); the tails are
+    assigned synthetic finite boundaries one interior-bin-width out, and
+    the piecewise-linear CDF is inverted at the n_bins-1 interior
+    quantiles. The scalable replacement for the exact global sort
+    (documented approximation switch, SURVEY.md §7 hard-part 4).
     """
+    from ife_tpu.stats.equalize import edges_from_dense_counts
+
     counts = np.asarray(counts, dtype=np.float64)
     edges = np.asarray(edges, dtype=np.float64)
     if n_bins < 1:
         raise ValueError("n_bins must be >= 1")
-    total = counts.sum()
-    if total <= 0:
-        raise ValueError("empty histogram")
-    # interior bins only: tail bins are unbounded; clamp their mass to the
-    # nearest finite edge
-    cdf = np.concatenate([[0.0], np.cumsum(counts)]) / total
-    # positions of bin boundaries on the value axis: edges[i] closes bin i
-    # (-inf, e0](e0, e1]... -> boundary value for cdf index i is edges[i-1]
-    targets = np.arange(1, n_bins) / n_bins
-    out = np.empty(n_bins - 1)
-    for j, t in enumerate(targets):
-        k = int(np.searchsorted(cdf, t, side="left"))  # cdf[k-1] < t <= cdf[k]
-        k = min(max(k, 1), counts.size)
-        lo_v = edges[k - 2] if k >= 2 else edges[0] - (edges[1] - edges[0])
-        hi_v = edges[k - 1] if k - 1 < edges.size else edges[-1] + (edges[-1] - edges[-2])
-        c0, c1 = cdf[k - 1], cdf[k]
-        frac = 0.0 if c1 == c0 else (t - c0) / (c1 - c0)
-        out[j] = lo_v + frac * (hi_v - lo_v)
-    return out
+    if counts.size != edges.size + 1:
+        raise ValueError(
+            f"expected {edges.size + 1} counts for {edges.size} edges, "
+            f"got {counts.size}"
+        )
+    if edges.size < 2:
+        raise ValueError("need at least 2 edges to bound the tail bins")
+    lo = edges[0] - (edges[1] - edges[0])
+    hi = edges[-1] + (edges[-1] - edges[-2])
+    bounds = np.concatenate([[lo], edges, [hi]])
+    return edges_from_dense_counts(bounds, counts, n_bins)

@@ -169,8 +169,6 @@ int ife_hr2_read(const char* path, IfeHr2Info* info, float** data,
         inflateEnd(&zs);
         FAIL("inflate error");
       }
-      produced = raw_len - ((static_cast<uint64_t>(zs.avail_out)) +
-                            (raw_len - produced - (zs.next_out - (raw.data() + produced)) - zs.avail_out) * 0);
       produced = zs.next_out - raw.data();
     }
   }
@@ -200,7 +198,6 @@ void put_field_length(std::string* out, uint32_t v) {
   int nbytes = 0;
   for (int i = 0; i < 4; ++i)
     if ((v >> (8 * i)) & 0xFF) nbytes = i + 1;
-  if (nbytes == 0) nbytes = 0;
   for (int i = 0; i < nbytes; ++i)
     out->push_back(static_cast<char>((v >> (8 * i)) & 0xFF));
   if (nbytes < 4) out->push_back('\0');

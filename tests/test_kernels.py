@@ -76,6 +76,35 @@ def test_fused_nondivisible_and_uneven_blocks():
     _assert_feature_parity(_got(x, block=8), _want(x), rtol=1e-7)
 
 
+def test_fused_prime_extent_pads_to_block():
+    # X=13, Y=11 are prime: _pick_block must pad to the target block
+    # (13 -> 16 with bx=8 at 3/4 rule...) instead of degrading to 1-row
+    # blocks; outputs must still match the unfused ops exactly.
+    x = synthetic_ct((13, 11, 16), seed=7, dtype=jnp.float64).data
+    bx, Xp = __import__("ife_tpu.kernels.fused", fromlist=["_pick_block"])._pick_block(13, 8)
+    assert (bx, Xp) == (8, 16)  # padded, not degraded
+    _assert_feature_parity(_got(x, block=8), _want(x), rtol=1e-7)
+
+
+def test_fused_features8_prime_extent(monkeypatch):
+    import jax.numpy as jnp
+    from ife_tpu.core.volume import sphere_mask
+    from ife_tpu.kernels.fused import fused_features8
+    from ife_tpu.ops.features import features8
+
+    x = synthetic_ct((13, 11, 16), seed=8, dtype=jnp.float64).data
+    mask = sphere_mask((13, 11, 16), 0.45).data
+    want = np.asarray(features8(x, mask, 0.9, SPACING))
+    got = np.moveaxis(
+        np.asarray(fused_features8(x, mask, 0.9, SPACING, interpret=True)),
+        0, -1,
+    )
+    for c in (0, 1):
+        s = max(np.abs(want[..., c]).max(), 1.0)
+        assert np.abs(got[..., c] - want[..., c]).max() / s < 1e-7, c
+    _assert_feature_parity(got[..., 2:], want[..., 2:], rtol=1e-7)
+
+
 def test_fused_block_1_edge_case():
     x = synthetic_ct((4, 4, 8), seed=4, dtype=jnp.float64).data
     _assert_feature_parity(_got(x, block=1), _want(x), rtol=1e-7)

@@ -68,6 +68,18 @@ def test_histogram_counts_weighted_mask():
     np.testing.assert_array_equal(got, [1, 1, 1])
 
 
+def test_histogram_counts_exact_past_f32_increment_limit():
+    """Counts above 2^24 per bin: an f32 accumulator silently drops +1
+    increments there (the production-size failure VERDICT r1 flagged);
+    int32 accumulation must stay exact."""
+    n = (1 << 24) + 4097
+    v = jnp.zeros(n, jnp.float32)
+    edges = jnp.asarray([0.5], jnp.float32)
+    got = np.asarray(histogram_counts(v, edges))
+    assert got.dtype == np.int32
+    np.testing.assert_array_equal(got, [n, 0])
+
+
 def test_batched_histogram_counts():
     rng = np.random.default_rng(1)
     v = rng.standard_normal((4, 1000))
@@ -139,6 +151,22 @@ def test_edges_from_dense_counts_approximates_exact():
     approx = edges_from_dense_counts(fine_edges, counts, 16)
     # fine pre-histogram -> tight agreement with the exact sorted path
     np.testing.assert_allclose(approx, exact, atol=5e-3)
+
+
+def test_histogram_quantile_edges_matches_spec():
+    """The reference-convention adapter must agree with the one CDF
+    inversion spec (edges_from_dense_counts) on interior mass."""
+    from ife_tpu.parallel.stats import histogram_quantile_edges
+
+    rng = np.random.default_rng(5)
+    s = rng.normal(0, 2, 100000)
+    edges = np.linspace(-8, 8, 4097)
+    # reference convention: E edges -> E+1 counts with unbounded tails
+    idx = np.searchsorted(edges, s, side="left")
+    counts = np.bincount(idx, minlength=edges.size + 1)
+    exact = determine_edges_for_equalized_histogram(np.sort(s), 16)
+    approx = histogram_quantile_edges(counts, edges, 16)
+    np.testing.assert_allclose(approx, exact, atol=2e-2)
 
 
 # --- expected distance (C8) ---
