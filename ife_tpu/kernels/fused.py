@@ -23,6 +23,7 @@ from __future__ import annotations
 import functools
 from typing import Sequence
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -40,18 +41,22 @@ def _clamp_shift_z(s: jnp.ndarray, off: int) -> jnp.ndarray:
     raise ValueError(off)
 
 
-def _window_pipeline(x_hbm, scratch, sem, bx, by, wy, n_buf):
+def _window_pipeline(x_hbm, scratch, sem, bx, by, wy, n_buf, ex=None):
     """Fetch this grid step's halo window into VMEM. n_buf=2: prefetch the
     next step's window into the other slot so HBM reads overlap compute
     (scratch persists across TPU grid steps); n_buf=1: plain fetch (used
     when VMEM is too tight for two slots — output pipeline buffers already
     claim most of the 16MB).
 
-    DMA window: (bx+2, wy, Z) where wy = by+2 rounded up to the f32
-    sublane multiple (8) — an unaligned sublane extent in a manual DMA
-    faults the TPU worker (found the hard way); the input is pre-padded
-    so the widened window never reads out of bounds.
+    DMA window: (ex, wy, Z) — ex defaults to bx+2 (radius-1 stencil halo);
+    the fully-fused kernel passes the smoothing-extended extent. wy is the
+    y window extent rounded up to the f32 sublane multiple (8) — an
+    unaligned sublane extent in a manual DMA faults the TPU worker (found
+    the hard way); the input is pre-padded so the widened window never
+    reads out of bounds.
     """
+    if ex is None:
+        ex = bx + 2
     i = pl.program_id(0)
     j = pl.program_id(1)
     n_i = pl.num_programs(0)
@@ -62,7 +67,7 @@ def _window_pipeline(x_hbm, scratch, sem, bx, by, wy, n_buf):
         wi = s // n_j
         wj = s % n_j
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(wi * bx, bx + 2), pl.ds(wj * by, wy), :],
+            x_hbm.at[pl.ds(wi * bx, ex), pl.ds(wj * by, wy), :],
             scratch.at[slot],
             sem.at[slot],
         )
@@ -172,6 +177,127 @@ def _features8_kernel(s_hbm, m_ref, o0, o1, o2, o3, o4, o5, o6, o7,
     o1[:] = jnp.where(inside, gm, zero)
     for ref, val in zip((o2, o3, o4, o5, o6, o7), feats):
         ref[:] = jnp.where(inside, val, zero)
+
+
+def _features8_full_kernel(img_hbm, msk_hbm, wy_ref, wzt_ref,
+                           o0, o1, o2, o3, o4, o5, o6, o7,
+                           img_s, msk_s, ys, sem_i, sem_m, *,
+                           bx, by, wyr, nxw, rx, ry, taps_x, hx, hy, hz,
+                           n_buf, precision):
+    """The ENTIRE features8 pass in one kernel: normalized Gaussian
+    smoothing + divide + gradient magnitude + 6-channel Hessian + eigen
+    features + masking (reference ImageToEmphysemaFeaturesFilter.hxx:14-55
+    end to end). HBM traffic = read img+mask halo windows + write 8
+    channels — no smoothed/Hessian intermediates ever round-trip HBM.
+
+    Smoothing is separable and each axis rides its cheapest unit:
+      * x (major axis): tap FMAs over leading-axis slices — address offsets,
+        zero relayouts, VPU;
+      * y: per-leading-row (ny2, wyr) @ (wyr, Z) matmuls on the MXU
+        (VALID Toeplitz taps; contraction along the sublane axis would
+        otherwise need a transpose across the lane layout);
+      * z (lane axis): ONE merged (2*nx1*ny2, Z) @ (Z, Z) band-matrix
+        matmul on the MXU — numerator and denominator stacked along rows;
+        unaligned lane shifts are the expensive op class, the MXU eats the
+        band matrix's O(Z)-vs-O(taps) FLOP overhead (measured 5.4x faster
+        than the conv lowering at 512^3, benchmarks/probe5.py).
+
+    True-edge ZeroFluxNeumann comes from the host-side edge pad (x/y) and
+    clamp rows folded into the z band matrix (_z_band_matrix_t), so the
+    result matches ops.features.features8 to f32 roundoff.
+    """
+    img_w = _window_pipeline(img_hbm, img_s, sem_i, bx, by, wyr, n_buf,
+                             ex=nxw)
+    msk_w = _window_pipeline(msk_hbm, msk_s, sem_m, bx, by, wyr, n_buf,
+                             ex=nxw)
+    dt = img_w.dtype
+    cm = jnp.clip(msk_w, 0, 1)
+    nx1 = bx + 2
+
+    def xpass(a):
+        acc = jnp.asarray(taps_x[0], dt) * a[0:nx1]
+        for t in range(1, len(taps_x)):
+            acc = acc + jnp.asarray(taps_x[t], dt) * a[t:t + nx1]
+        return acc
+
+    t_x = xpass(img_w * cm)          # (nx1, wyr, Z) numerator, x-smoothed
+    c_x = xpass(cm)                  # (nx1, wyr, Z) denominator
+    a = jnp.concatenate([t_x, c_x], axis=0)  # leading concat: free
+
+    # y-pass: per-row MXU matmuls into the ys scratch
+    Wy = wy_ref[:]                   # (ny2, wyr)
+    for r in range(2 * nx1):
+        ys[r] = jnp.dot(Wy, a[r], precision=precision,
+                        preferred_element_type=dt)
+
+    # z-pass: one merged band matmul over all rows of num+den
+    yv = ys[:]                       # (2*nx1, ny2, Z)
+    ny2 = yv.shape[1]
+    Z = yv.shape[2]
+    flat = yv.reshape(2 * nx1 * ny2, Z)
+    sz = jnp.dot(flat, wzt_ref[:], precision=precision,
+                 preferred_element_type=dt).reshape(2 * nx1, ny2, Z)
+
+    # normalized-convolution divide (no epsilon — reference
+    # NormalizedGaussianConvolutionImageFilter.hxx:57-58; nan/inf outside
+    # the mask support is zeroed by the masking below)
+    s = (sz[:nx1] / sz[nx1:])[:, : by + 2, :]   # (nx1, by+2, Z)
+
+    core, dxx, dyy, dzz, dxy, dxz, dyz, dx_c, dy, dz_c = _stencil_block(
+        s, hx, hy, hz
+    )
+    gm = jnp.sqrt(dx_c * dx_c + dy * dy + dz_c * dz_c)
+    feats = eigenvalue_feature_channels(
+        dxx, dxy, dxz, dyy, dyz, dzz, use_trig=False, diag_path=False
+    )
+    inside = cm[rx + 1: rx + 1 + bx, ry + 1: ry + 1 + by, :] != 0
+    zero = jnp.asarray(0, dt)
+    o0[:] = jnp.where(inside, core, zero)
+    o1[:] = jnp.where(inside, gm, zero)
+    for ref, val in zip((o2, o3, o4, o5, o6, o7), feats):
+        ref[:] = jnp.where(inside, val, zero)
+
+
+@functools.lru_cache(maxsize=256)
+def _smooth_taps(sigma: float, spacing: float, truncate: float):
+    """(taps tuple, radius) for one axis; sigma<=0 -> identity."""
+    from ife_tpu.ops.stencil import _gaussian_taps, gaussian_radius
+
+    if sigma <= 0:
+        return (1.0,), 0
+    sigma_vox = float(sigma) / float(spacing)
+    radius = gaussian_radius(sigma_vox, truncate)
+    return tuple(float(t) for t in _gaussian_taps(sigma_vox, radius)), radius
+
+
+@functools.lru_cache(maxsize=256)
+def _y_valid_matrix(ny2: int, wyr: int, taps, ny1: int) -> np.ndarray:
+    """(ny2, wyr) VALID Toeplitz rows of the y taps; rows >= ny1 duplicate
+    row ny1-1 (sublane-alignment slack — their outputs are never kept)."""
+    W = np.zeros((ny2, wyr), dtype=np.float64)
+    for v in range(ny2):
+        vv = min(v, ny1 - 1)
+        for t_idx, t in enumerate(taps):
+            W[v, vv + t_idx] += t
+    return W
+
+
+@functools.lru_cache(maxsize=256)
+def _z_band_matrix_t(Zp: int, Z: int, taps) -> np.ndarray:
+    """(Zp, Zp) TRANSPOSED band matrix for the lane-axis smoothing:
+    out[.., o] = sum_i in[.., i] * W[i, o]. Clamp at the TRUE edges [0, Z-1]
+    (ZeroFluxNeumann) is folded into the rows; output rows o >= Z (the
+    lane-tile alignment pad) copy row Z-1 so the radius-1 z stencils that
+    read one plane past the edge see the replicated boundary plane,
+    exactly like the edge-padded input of the staged kernels."""
+    r = (len(taps) - 1) // 2
+    W = np.zeros((Zp, Zp), dtype=np.float64)
+    for o in range(Zp):
+        oo = min(o, Z - 1)
+        for t_idx, t in enumerate(taps):
+            src = min(max(oo + t_idx - r, 0), Z - 1)
+            W[src, o] += t
+    return W
 
 
 def _pick_block(n: int, target: int):
@@ -415,3 +541,180 @@ def fused_features8_post(
     if stack:
         return jnp.stack(outs, axis=0)
     return tuple(outs)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sigma", "spacing", "truncate", "block",
+                              "interpret", "stack", "pre_padded",
+                              "precision")
+)
+def fused_features8_full(
+    image: jax.Array,
+    mask: jax.Array,
+    sigma: float,
+    spacing: Sequence[float] = (1.0, 1.0, 1.0),
+    truncate: float = 4.5,
+    block=(8, 128),
+    interpret: bool = False,
+    stack: bool = True,
+    pre_padded: bool = False,
+    precision: str = "highest",
+):
+    """features8 as ONE fused Pallas pass, smoothing included.
+
+    Unlike fused_features8 (which stages the normalized-Gaussian smoothing
+    through HBM as XLA banded einsums), this kernel reads each raw
+    image/mask halo window once and produces the 8 masked feature channels
+    directly — the whole reference DAG
+    (ImageToEmphysemaFeaturesFilter.hxx:14-55) in a single HBM round trip.
+    The halo radius is the smoothing radius + 1 (stencils), so it is the
+    right choice for small/medium sigma; for very large sigma the window
+    read amplification exceeds the staged path's smoothing traffic and
+    features8_auto dispatches to fused_features8 instead.
+
+    Args mirror fused_features8; additionally:
+      pre_padded: image and mask already carry the full halo layer
+        (radius gaussian_radius+1 per axis) on X and Y — e.g. halo-extended
+        shard blocks from ife_tpu.parallel.halo. Shapes then are
+        (X + 2*(rx+1), Y + 2*(ry+1), Z) for an (X, Y, Z) core.
+      precision: MXU precision for the in-kernel smoothing matmuls
+        ("highest" = 6-pass f32 emulation, "high" = 3-pass bf16x3 —
+        ~2x faster, ~1e-6 relative smoothing error).
+
+    Returns (8, X, Y, Z) channel-first when stack=True, else a tuple of 8
+    arrays; jnp.moveaxis(out, 0, -1) matches ops.features.features8.
+    """
+    prec = jax.lax.Precision(precision)
+    hx, hy, hz = (float(v) for v in spacing)
+    taps_x, rx = _smooth_taps(float(sigma), hx, float(truncate))
+    taps_y, ry = _smooth_taps(float(sigma), hy, float(truncate))
+    taps_z, rz = _smooth_taps(float(sigma), hz, float(truncate))
+    Hx, Hy = rx + 1, ry + 1
+
+    if pre_padded:
+        X, Y, Zin = (image.shape[0] - 2 * Hx, image.shape[1] - 2 * Hy,
+                     image.shape[2])
+    else:
+        X, Y, Zin = image.shape
+    # lane-tile alignment of the DMA window (see fused_hessian_eig); the z
+    # band matrix clamps at the TRUE edge Z-1, so the pad content is never
+    # read by the smoothing — only by nothing at all (clamp rows cover the
+    # radius-1 stencil reads past Z too).
+    Z = Zin if interpret else -(-Zin // 128) * 128
+    if Z != Zin:
+        image = jnp.pad(image, ((0, 0), (0, 0), (0, Z - Zin)), mode="edge")
+        mask = jnp.pad(mask, ((0, 0), (0, 0), (0, Z - Zin)), mode="edge")
+    tx, ty = (block, block) if isinstance(block, int) else block
+    bx, Xp = _pick_block(X, tx)
+    by, Yp = _pick_block(Y, ty)
+    nxw = bx + 2 + 2 * rx                      # x window extent
+    ny1 = by + 2
+    ny2 = -(-ny1 // 8) * 8                     # y matmul rows, sublane pad
+    wyr = -(-(ny1 + 2 * ry) // 8) * 8          # sublane-aligned DMA extent
+
+    # pad so every window is in bounds: halo Hx/Hy (edge replication =
+    # ZeroFluxNeumann at true faces; already present when pre_padded),
+    # grid-multiple slack on x/y, and the y alignment slack — slack voxels
+    # only ever feed outputs that are sliced away.
+    x_hi = (Xp - X) + (nxw - (bx + 2 + 2 * rx))          # = Xp - X
+    y_hi = (Yp - Y) + (wyr - (ny1 + 2 * ry))
+    if pre_padded:
+        img_p = jnp.pad(image, ((0, x_hi), (0, y_hi), (0, 0)), mode="edge")
+        msk_p = jnp.pad(mask, ((0, x_hi), (0, y_hi), (0, 0)), mode="edge")
+    else:
+        img_p = jnp.pad(
+            image, ((Hx, Hx + x_hi), (Hy, Hy + y_hi), (0, 0)), mode="edge"
+        )
+        msk_p = jnp.pad(
+            mask, ((Hx, Hx + x_hi), (Hy, Hy + y_hi), (0, 0)), mode="edge"
+        )
+    msk_p = msk_p.astype(img_p.dtype)
+
+    Wy = jnp.asarray(_y_valid_matrix(ny2, wyr, taps_y, ny1), img_p.dtype)
+    Wzt = jnp.asarray(_z_band_matrix_t(Z, Zin, taps_z), img_p.dtype)
+
+    # VMEM model: 8 double-buffered output blocks + 2 windows x n_buf +
+    # the ys scratch + ~10 block-sized temporaries.
+    item = img_p.dtype.itemsize
+    nx1 = bx + 2
+    est1 = item * Z * (
+        16 * bx * by + 2 * nxw * wyr + 2 * nx1 * ny2 + 12 * bx * by
+    )
+    est2 = est1 + item * Z * 2 * nxw * wyr
+    n_buf = 2 if est2 <= int(0.8 * _VMEM_LIMIT) else 1
+
+    kernel = functools.partial(
+        _features8_full_kernel, bx=bx, by=by, wyr=wyr, nxw=nxw, rx=rx,
+        ry=ry, taps_x=taps_x, hx=hx, hy=hy, hz=hz, n_buf=n_buf,
+        precision=prec,
+    )
+    blk_spec = pl.BlockSpec(
+        (bx, by, Z), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+    )
+    const_spec = pl.BlockSpec(
+        memory_space=pltpu.VMEM  # whole array, same block every step
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Xp // bx, Yp // by),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            const_spec,
+            const_spec,
+        ],
+        out_specs=[blk_spec] * 8,
+        out_shape=[jax.ShapeDtypeStruct((Xp, Yp, Z), img_p.dtype)] * 8,
+        scratch_shapes=[
+            pltpu.VMEM((n_buf, nxw, wyr, Z), img_p.dtype),
+            pltpu.VMEM((n_buf, nxw, wyr, Z), img_p.dtype),
+            pltpu.VMEM((2 * nx1, ny2, Z), img_p.dtype),
+            pltpu.SemaphoreType.DMA((n_buf,)),
+            pltpu.SemaphoreType.DMA((n_buf,)),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(img_p, msk_p, Wy, Wzt)
+    if (Xp, Yp, Z) != (X, Y, Zin):
+        outs = [o[:X, :Y, :Zin] for o in outs]
+    if stack:
+        return jnp.stack(outs, axis=0)
+    return tuple(outs)
+
+
+def full_fusion_radii(sigma, spacing, truncate=4.5):
+    """Per-axis smoothing radii the full kernel would use (dispatch aid)."""
+    return tuple(
+        _smooth_taps(float(sigma), float(s), float(truncate))[1]
+        for s in spacing
+    )
+
+
+def full_fusion_viable(shape, sigma, spacing, truncate=4.5, block=(8, 128),
+                       itemsize=4) -> bool:
+    """Whether fused_features8_full fits this (shape, sigma): the halo
+    window (smoothing radius + 1 per side) must leave the single-buffered
+    VMEM estimate under budget, and the window read amplification must not
+    exceed the staged path's smoothing traffic (~6 axis passes). Large
+    sigmas dispatch to fused_features8 (XLA banded-einsum smoothing +
+    post kernel) instead."""
+    rx = _smooth_taps(float(sigma), float(spacing[0]), float(truncate))[1]
+    ry = _smooth_taps(float(sigma), float(spacing[1]), float(truncate))[1]
+    tx, ty = (block, block) if isinstance(block, int) else block
+    bx, _ = _pick_block(shape[0], tx)
+    by, _ = _pick_block(shape[1], ty)
+    Z = -(-shape[2] // 128) * 128
+    nxw = bx + 2 + 2 * rx
+    ny1 = by + 2
+    ny2 = -(-ny1 // 8) * 8
+    wyr = -(-(ny1 + 2 * ry) // 8) * 8
+    est1 = itemsize * Z * (
+        16 * bx * by + 2 * nxw * wyr + 2 * (bx + 2) * ny2 + 12 * bx * by
+    )
+    if est1 > int(0.92 * _VMEM_LIMIT):
+        return False
+    # read amplification of the two input windows vs the kept block
+    amp = (nxw * wyr) / float(bx * by)
+    return amp <= 8.0

@@ -95,15 +95,29 @@ def features8_jit(image, mask, *, sigma, spacing=(1.0, 1.0, 1.0), truncate=4.5):
 
 
 def features8_auto(image, mask, sigma, spacing=(1.0, 1.0, 1.0), truncate=4.5):
-    """features8 with automatic backend dispatch: the fused Pallas kernel
-    on TPU (one VMEM round trip for everything after the smoothing), the
+    """features8 with automatic backend dispatch on TPU: the fully-fused
+    Pallas kernel (smoothing included — one HBM round trip for the whole
+    pass) when the smoothing halo fits VMEM, else the staged fused kernel
+    (MXU banded-einsum smoothing + post-smoothing Pallas pass); the
     XLA-composed expression elsewhere. Returns (X, Y, Z, 8) either way."""
     if jax.devices()[0].platform == "tpu" and image.ndim == 3:
-        from ife_tpu.kernels.fused import fused_features8
-
-        out = fused_features8(
-            image, mask, float(sigma), tuple(spacing), truncate, stack=True
+        from ife_tpu.kernels.fused import (
+            fused_features8,
+            fused_features8_full,
+            full_fusion_viable,
         )
+
+        if full_fusion_viable(image.shape, float(sigma), tuple(spacing),
+                              truncate):
+            out = fused_features8_full(
+                image, mask.astype(image.dtype), float(sigma),
+                tuple(spacing), truncate, stack=True,
+            )
+        else:
+            out = fused_features8(
+                image, mask, float(sigma), tuple(spacing), truncate,
+                stack=True,
+            )
         return jnp.moveaxis(out, 0, -1)
     return features8_jit(
         image, mask, sigma=float(sigma), spacing=tuple(spacing),

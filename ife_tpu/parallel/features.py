@@ -134,15 +134,20 @@ def _grad_hessian_block(
 
 
 def _halo_or_edge_pad(arr: jnp.ndarray, sharded_axes: Dict[int, str],
-                      radius: int = 1) -> jnp.ndarray:
-    """Extend X and Y by `radius`: ppermute halos on sharded axes (true
-    faces edge-replicated inside halo_exchange), edge pad on local ones —
-    exactly the boundary layer the pre_padded fused kernels consume."""
+                      radius=1) -> jnp.ndarray:
+    """Extend X and Y by `radius` (an int or per-axis (rx, ry)): ppermute
+    halos on sharded axes (true faces edge-replicated inside
+    halo_exchange), edge pad on local ones — exactly the boundary layer
+    the pre_padded fused kernels consume."""
+    radii = (radius, radius) if isinstance(radius, int) else radius
     for axis in (0, 1):
+        r = radii[axis]
+        if r <= 0:
+            continue
         if axis in sharded_axes:
-            arr = halo_exchange(arr, axis, radius, sharded_axes[axis])
+            arr = halo_exchange(arr, axis, r, sharded_axes[axis])
         else:
-            arr = stencil._edge_pad(arr, axis, radius, radius)
+            arr = stencil._edge_pad(arr, axis, r, r)
     return arr
 
 
@@ -157,6 +162,27 @@ def _features8_block(
 ) -> jnp.ndarray:
     m = jnp.clip(msk, 0, 1)
     mf = m.astype(img.dtype)
+
+    if use_fused:
+        # fully-fused per-shard kernel when the smoothing halo fits: the
+        # halo-exchanged raw image/mask blocks ARE the pre-padded inputs
+        # fused_features8_full expects (smoothing + stencils + eigen +
+        # masking in one kernel; see kernels/fused.py)
+        from ife_tpu.kernels.fused import (
+            fused_features8_full,
+            full_fusion_radii,
+            full_fusion_viable,
+        )
+
+        if full_fusion_viable(img.shape, sigma, spacing, truncate):
+            rx, ry, _ = full_fusion_radii(sigma, spacing, truncate)
+            img_ext = _halo_or_edge_pad(img, sharded_axes, (rx + 1, ry + 1))
+            msk_ext = _halo_or_edge_pad(mf, sharded_axes, (rx + 1, ry + 1))
+            out = fused_features8_full(
+                img_ext, msk_ext, sigma, tuple(spacing), truncate,
+                pre_padded=True, stack=True,
+            )
+            return jnp.moveaxis(out, 0, -1)
 
     # numerator and denominator smoothed separately (channel-stacking
     # measures ~2x slower on TPU — see normalized_gaussian_convolution)
