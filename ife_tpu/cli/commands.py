@@ -66,50 +66,101 @@ def _get_rois(args, mask_np, default_size=(41, 41, 41)):
 # feature tools
 # ---------------------------------------------------------------------------
 
+def _init_distributed(args):
+    """Shared --sharded runtime setup: multi-host init (no-op without a
+    coordinator), global mesh over ALL devices, optional restart manifest.
+    Returns (mesh, manifest, primary)."""
+    import jax
+    from ife_tpu.parallel import make_mesh
+    from ife_tpu.parallel.launcher import (
+        ShardManifest,
+        distributed_init_from_args,
+        is_primary,
+    )
+
+    pid, nprocs = distributed_init_from_args(args)
+    n = jax.device_count()
+    mesh = make_mesh(n, ("x", "y") if n > 1 else ("x",))
+    _progress(f"process {pid}/{nprocs}: sharding over {n} devices: "
+              f"{dict(zip(mesh.axis_names, mesh.devices.shape))}")
+    manifest = (
+        ShardManifest(args.manifest)
+        if getattr(args, "manifest", None) else None
+    )
+    return mesh, manifest, is_primary()
+
+
+def _add_distributed_flags(p):
+    """Flags shared by every --sharded-capable subcommand (no jax import —
+    parser construction must stay instant)."""
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="multi-host coordinator address "
+                   "(or env IFE_COORDINATOR); single-process if unset")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="total process count (or env IFE_NUM_PROCESSES)")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this process's index (or env IFE_PROCESS_ID)")
+    p.add_argument("--manifest", default=None, metavar="PATH",
+                   help="shard-manifest JSON: completed blocks are skipped "
+                   "on restart (failure recovery)")
+
+
 def conf_extract_features(p):
     p.add_argument("-i", "--image", required=True)
     p.add_argument("-m", "--mask", required=True)
     p.add_argument("-o", "--out", required=True, help="output prefix")
     p.add_argument("-s", "--scales", type=float, nargs="+", required=True)
     p.add_argument("--sharded", action="store_true",
-                   help="block-shard the volume over all local devices "
-                   "(halo-exchange parallel path)")
+                   help="block-shard the volume over all devices — local or "
+                   "multi-host with --coordinator (halo-exchange parallel path)")
+    _add_distributed_flags(p)
 
 
 def run_extract_features(args):
     """Reference tools/ExtractFeatures.cxx: per scale, 8 feature volumes
-    written as <out>_scale_<s><FeatureName>.nii.gz."""
+    written as <out>_scale_<s><FeatureName>.nii.gz.
+
+    --sharded runs each scale block-sharded over every device of every
+    process; --manifest makes the run restartable (completed scales are
+    skipped, the reference's file-materialized stage contract made
+    explicit, SURVEY.md §5)."""
     import jax
     import jax.numpy as jnp
     from ife_tpu.ops.features import features8_auto, FEATURE_NAMES
     from ife_tpu.utils import stage_timer
 
+    mesh = manifest = None
+    primary = True
+    if args.sharded:
+        mesh, manifest, primary = _init_distributed(args)
+
     vol = _load(args.image)
     mask = _load(args.mask)
     img = jnp.asarray(vol.data, jnp.float32)
     msk = jnp.asarray(mask.data)
-    mesh = None
-    if args.sharded:
-        from ife_tpu.parallel import make_mesh
-
-        n = jax.device_count()
-        mesh = make_mesh(n, ("x", "y") if n > 1 else ("x",))
-        _progress(f"sharding over {n} devices: "
-                  f"{dict(zip(mesh.axis_names, mesh.devices.shape))}")
     for s in args.scales:
+        key = f"scale_{s:g}"
+        last_out = f"{args.out}_scale_{s:g}{FEATURE_NAMES[-1]}.nii.gz"
+        if manifest is not None and manifest.is_done(key):
+            _progress(f"Skipping completed scale {s:g} (manifest)")
+            continue
         _progress(f"Processing scale {s:g}")
         with stage_timer(f"features8[s={s:g}]", voxels=img.size, emit=True):
             if mesh is not None:
                 from ife_tpu.parallel import features8_sharded_auto
+                from ife_tpu.parallel.launcher import fetch_to_host
 
-                feats = np.asarray(features8_sharded_auto(
+                feats = fetch_to_host(features8_sharded_auto(
                     img, msk, float(s), mesh, vol.spacing))
             else:
                 feats = np.asarray(features8_auto(
                     img, msk, float(s), vol.spacing))
-        for c, name in enumerate(FEATURE_NAMES):
-            out = vol.with_data(feats[..., c])
-            _save(f"{args.out}_scale_{s:g}{name}.nii.gz", out)
+        if primary:
+            for c, name in enumerate(FEATURE_NAMES):
+                out = vol.with_data(feats[..., c])
+                _save(f"{args.out}_scale_{s:g}{name}.nii.gz", out)
+            if manifest is not None:
+                manifest.mark_done(key, last_out)
 
 
 def conf_masked_normalized_convolution(p):
@@ -218,26 +269,45 @@ def conf_make_bag(p):
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--device", action="store_true",
                    help="histogram the ROIs on device (uniform ROI size)")
+    p.add_argument("--sharded", action="store_true",
+                   help="block-shard the feature pass over all devices; the "
+                   "feature volume never touches the host (uniform ROI size)")
+    _add_distributed_flags(p)
 
 
 def run_make_bag(args):
     """Reference tools/MakeBag.cxx: per-ROI concatenated feature histograms
-    -> <prefix>.bag CSV + <prefix>.ROIInfo."""
+    -> <prefix>.bag CSV + <prefix>.ROIInfo.
+
+    --sharded keeps the per-scale feature volumes block-sharded on the mesh
+    and fetches only the (n_rois, 8, bins) frequency block — the scalable
+    form of the reference's host-side loop (MakeBag.cxx:405-486)."""
     from ife_tpu.io import read_hist_spec, write_rois
     from ife_tpu.io.text import write_matrix_csv
     from ife_tpu.roi import make_bag
-    from ife_tpu.roi.bag import make_bag_device
+    from ife_tpu.roi.bag import make_bag_device, make_bag_sharded
 
+    primary = True
     vol = _load(args.image)
     mask = _load(args.mask)
     edges = read_hist_spec(args.hist_spec)
     mask_np = np.asarray(mask.data)
-    rois = _get_rois(args, mask_np)
-    bag_fn = make_bag_device if getattr(args, "device", False) else make_bag
-    bag = bag_fn(np.asarray(vol.data), mask_np, args.scales, edges, rois,
-                 spacing=vol.spacing)
-    write_matrix_csv(f"{args.out}.bag", bag)
-    write_rois(f"{args.out}.ROIInfo", rois)
+    if args.sharded:
+        mesh, _, primary = _init_distributed(args)
+        if getattr(args, "roi_file", None) is None and args.seed is None:
+            # every process must draw identical ROIs
+            args.seed = 0
+        rois = _get_rois(args, mask_np)
+        bag = make_bag_sharded(np.asarray(vol.data), mask_np, args.scales,
+                               edges, rois, mesh, spacing=vol.spacing)
+    else:
+        rois = _get_rois(args, mask_np)
+        bag_fn = make_bag_device if getattr(args, "device", False) else make_bag
+        bag = bag_fn(np.asarray(vol.data), mask_np, args.scales, edges, rois,
+                     spacing=vol.spacing)
+    if primary:
+        write_matrix_csv(f"{args.out}.bag", bag)
+        write_rois(f"{args.out}.ROIInfo", rois)
     _progress(f"Wrote {bag.shape[0]} ROIs x {bag.shape[1]} columns")
 
 
@@ -307,6 +377,72 @@ def conf_determine_bin_edges(p):
     p.add_argument("--foreground", type=int, nargs="+", default=[1],
                    help="mask labels counted as foreground")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--sharded", action="store_true",
+                   help="scalable path: features stay block-sharded on the "
+                   "mesh, per-image fine histograms psum-reduce, edges come "
+                   "from CDF inversion (approximate; replaces the global sort)")
+    p.add_argument("--fine-bins", type=int, default=4096,
+                   help="fine pre-histogram resolution for --sharded")
+    _add_distributed_flags(p)
+
+
+def _run_determine_bin_edges_sharded(args):
+    """Scalable bin-edge path (SURVEY.md §7 hard-part 4): per image, per
+    (scale, feature), an on-mesh fine histogram (min/max psum + dense-count
+    psum, parallel/stats.py); per-image histograms merge across images by
+    piecewise-linear CDF resampling; the equalized edges invert the merged
+    CDF. Replaces the reference's all-samples global sort
+    (DetermineHistogramBinEdges_MultiScaleEigenvalueFeatures.cxx:283) which
+    needs every sample in one address space. --manifest caches per-image
+    histograms in <manifest>.<image-index>.npz so restarts skip completed
+    images."""
+    import jax.numpy as jnp
+    from ife_tpu.io import read_pair_list, write_hist_spec
+    from ife_tpu.ops.features import FEATURE_NAMES, NUM_FEATURES
+    from ife_tpu.parallel.launcher import is_primary
+    from ife_tpu.parallel.stats import (
+        merge_fine_histograms,
+        sharded_feature_fine_histograms,
+    )
+    from ife_tpu.stats.equalize import edges_from_dense_counts
+
+    mesh, manifest, primary = _init_distributed(args)
+    pairs = read_pair_list(args.pair_list)
+    n_hists = NUM_FEATURES * len(args.scales)
+    per_hist = [[] for _ in range(n_hists)]
+    for idx, (img_path, mask_path) in enumerate(pairs):
+        key = f"image_{idx}"
+        cache = f"{args.manifest}.{idx}.npz" if args.manifest else None
+        if manifest is not None and manifest.is_done(key) and cache:
+            _progress(f"Loading cached histograms for {img_path} (manifest)")
+            z = np.load(cache)
+            for h in range(n_hists):
+                per_hist[h].append((z[f"bounds_{h}"], z[f"counts_{h}"]))
+            continue
+        _progress(f"Processing {img_path} / {mask_path}")
+        vol = _load(img_path)
+        mask = _load(mask_path)
+        fg = np.isin(np.asarray(mask.data), np.asarray(args.foreground))
+        hists = sharded_feature_fine_histograms(
+            np.asarray(vol.data), fg.astype(np.uint8), args.scales, mesh,
+            vol.spacing, n_fine=args.fine_bins,
+        )
+        for h, bc in enumerate(hists):
+            per_hist[h].append(bc)
+        if manifest is not None and primary:
+            np.savez(
+                cache,
+                **{f"bounds_{h}": b for h, (b, _) in enumerate(hists)},
+                **{f"counts_{h}": c for h, (_, c) in enumerate(hists)},
+            )
+            manifest.mark_done(key, cache)
+    edge_rows = []
+    for vals in per_hist:
+        bounds, counts = merge_fine_histograms(vals)
+        edge_rows.append(edges_from_dense_counts(bounds, counts, args.bins))
+    if primary:
+        write_hist_spec(args.out, edge_rows, scales=args.scales,
+                        feature_names=FEATURE_NAMES)
 
 
 def run_determine_bin_edges(args):
@@ -317,6 +453,9 @@ def run_determine_bin_edges(args):
     from ife_tpu.io import read_pair_list, write_hist_spec
     from ife_tpu.ops.features import features8_auto, FEATURE_NAMES, NUM_FEATURES
     from ife_tpu.stats.equalize import determine_edges_for_equalized_histogram
+
+    if args.sharded:
+        return _run_determine_bin_edges_sharded(args)
 
     pairs = read_pair_list(args.pair_list)
     rng = np.random.default_rng(args.seed)

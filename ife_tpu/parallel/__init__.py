@@ -21,5 +21,15 @@ from ife_tpu.parallel.features import (  # noqa: F401
 )
 from ife_tpu.parallel.stats import (  # noqa: F401
     histogram_quantile_edges,
+    masked_fine_histogram,
+    merge_fine_histograms,
+    sharded_feature_fine_histograms,
     sharded_masked_histogram,
+)
+from ife_tpu.parallel.launcher import (  # noqa: F401
+    ShardManifest,
+    distributed_init,
+    fetch_to_host,
+    host_array_to_global,
+    is_primary,
 )

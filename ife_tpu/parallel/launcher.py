@@ -19,6 +19,7 @@ import tempfile
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
+import numpy as np
 import jax
 
 from ife_tpu.utils.logging import get_logger
@@ -59,6 +60,53 @@ def distributed_init(
         jax.local_device_count(), jax.device_count(),
     )
     return process_id, num_processes
+
+
+def distributed_init_from_args(args) -> Tuple[int, int]:
+    """`distributed_init` from CLI flags (--coordinator/--num-processes/
+    --process-id), falling back to the IFE_* env vars. The common entry for
+    every `--sharded`-capable subcommand."""
+    return distributed_init(
+        coordinator=getattr(args, "coordinator", None),
+        num_processes=getattr(args, "num_processes", None),
+        process_id=getattr(args, "process_id", None),
+    )
+
+
+def is_primary() -> bool:
+    """True on the process that owns side effects (file writes, logs)."""
+    return jax.process_index() == 0
+
+
+def host_array_to_global(data, mesh) -> jax.Array:
+    """Place identical host data (every process holds the full array) onto a
+    global mesh sharding. Single-process: plain device_put; multi-process:
+    each host donates only its addressable shards
+    (`jax.make_array_from_callback` — the standard multi-host ingest
+    pattern; device_put cannot target non-addressable devices)."""
+    from jax.sharding import NamedSharding
+
+    from ife_tpu.parallel.mesh import volume_pspec
+
+    data = np.asarray(data)
+    sharding = NamedSharding(mesh, volume_pspec(mesh))
+    if jax.process_count() == 1:
+        return jax.device_put(data, sharding)
+    return jax.make_array_from_callback(
+        data.shape, sharding, lambda idx: data[idx]
+    )
+
+
+def fetch_to_host(arr: jax.Array) -> np.ndarray:
+    """Materialize a (possibly multi-host sharded) jax.Array as the full
+    numpy array on EVERY process. Single-process or fully-replicated arrays
+    transfer directly; cross-host shards ride an allgather
+    (`multihost_utils.process_allgather`)."""
+    if jax.process_count() == 1 or arr.is_fully_replicated:
+        return np.asarray(arr)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
 
 
 @dataclass

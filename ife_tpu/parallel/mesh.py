@@ -59,8 +59,14 @@ def shard_volume(data: jax.Array, mesh: Mesh) -> jax.Array:
     """Place a volume array onto the mesh with block sharding.
 
     Requires each sharded dim to divide by its mesh extent — use
-    `pad_to_mesh` / `crop_from_mesh` for arbitrary sizes.
+    `pad_to_mesh` / `crop_from_mesh` for arbitrary sizes. Works across
+    hosts: with >1 process (every process holding the same full host
+    array) placement goes through `make_array_from_callback`.
     """
+    if jax.process_count() > 1:
+        from ife_tpu.parallel.launcher import host_array_to_global
+
+        return host_array_to_global(data, mesh)
     return jax.device_put(data, NamedSharding(mesh, volume_pspec(mesh)))
 
 

@@ -81,3 +81,123 @@ def histogram_quantile_edges(
     hi = edges[-1] + (edges[-1] - edges[-2])
     bounds = np.concatenate([[lo], edges, [hi]])
     return edges_from_dense_counts(bounds, counts, n_bins)
+
+
+def masked_fine_histogram(
+    values: jax.Array,
+    mask: jax.Array,
+    mesh: Mesh,
+    n_fine: int = 4096,
+) -> tuple:
+    """(bounds, counts) fine dense histogram of values[mask != 0], computed
+    fully on-mesh: a psum min/max pass sets the range, then one
+    `sharded_masked_histogram` pass fills `n_fine` equal-width bins.
+
+    This is the per-image building block of the scalable bin-edge pipeline
+    (replacing the reference's host-side sample vector + global sort,
+    tools/DetermineHistogramBinEdges_MultiScaleEigenvalueFeatures.cxx:283).
+    Returns (bounds (n_fine+1,) float64, counts (n_fine,) float64).
+    """
+    import jax.numpy as jnp
+
+    @jax.jit
+    def minmax(v, m):
+        inside = m != 0
+        big = jnp.asarray(jnp.inf, v.dtype)
+        lo = jnp.where(inside, v, big).min()
+        hi = jnp.where(inside, v, -big).max()
+        return lo, hi
+
+    lo, hi = (float(t) for t in minmax(values, mask))
+    if not np.isfinite(lo) or not np.isfinite(hi):
+        raise ValueError("masked_fine_histogram: mask selects no voxels")
+    if hi <= lo:  # constant field: one degenerate bin still inverts cleanly
+        hi = lo + 1.0
+    bounds = np.linspace(lo, hi, n_fine + 1)
+    raw = np.asarray(
+        sharded_masked_histogram(values, mask, jnp.asarray(bounds, values.dtype), mesh),
+        dtype=np.float64,
+    )
+    # reference bin convention (searchsorted-left over n_fine+1 edges) gives
+    # n_fine+2 counts: bin 0 holds v == lo exactly, the last tail is empty
+    counts = raw[1 : n_fine + 1]
+    counts[0] += raw[0]
+    return bounds, counts
+
+
+def merge_fine_histograms(hists, n_out: int | None = None) -> tuple:
+    """Merge per-image fine histograms (different ranges) onto one union
+    grid by piecewise-linear CDF resampling — the cross-image accumulation
+    step of the scalable bin-edge pipeline. Exact when bounds coincide;
+    otherwise the error is bounded by one source-bin width.
+
+    Args:
+      hists: sequence of (bounds (B_i+1,), counts (B_i,)).
+      n_out: union-grid bin count (default: max input resolution).
+
+    Returns (union_bounds (n_out+1,), merged_counts (n_out,)).
+    """
+    if not hists:
+        raise ValueError("no histograms to merge")
+    lo = min(float(b[0]) for b, _ in hists)
+    hi = max(float(b[-1]) for b, _ in hists)
+    if n_out is None:
+        n_out = max(len(c) for _, c in hists)
+    if hi <= lo:
+        hi = lo + 1.0
+    union = np.linspace(lo, hi, n_out + 1)
+    merged = np.zeros(n_out, dtype=np.float64)
+    for bounds, counts in hists:
+        cum = np.concatenate([[0.0], np.cumsum(np.asarray(counts, np.float64))])
+        cum_u = np.interp(union, np.asarray(bounds, np.float64), cum,
+                          left=0.0, right=float(cum[-1]))
+        merged += np.diff(cum_u)
+    return union, merged
+
+
+def sharded_feature_fine_histograms(
+    image,
+    mask,
+    sigmas: Sequence[float],
+    mesh: Mesh,
+    spacing: Sequence[float] = (1.0, 1.0, 1.0),
+    truncate: float = 4.5,
+    n_fine: int = 4096,
+    use_fused=None,
+):
+    """Per-(scale, feature) fine histograms of masked feature voxels,
+    computed without ever materializing a feature volume on host: features
+    stay block-sharded on the mesh, statistics reduce with psum.
+
+    The mask is edge-padded for the FEATURE pass (composes with
+    ZeroFluxNeumann, see pad_to_mesh) but zero-padded for COUNTING so pad
+    voxels never enter the statistics.
+
+    Returns a scale-major list of length len(sigmas)*8 of (bounds, counts)
+    — index i*8+k is scale i, feature k, matching the reference hist-spec
+    layout (tools/MakeBag.cxx:453).
+    """
+    import jax.numpy as jnp
+
+    from ife_tpu.parallel.features import sharded_features8
+    from ife_tpu.parallel.mesh import pad_to_mesh, shard_volume
+
+    mask_np = np.asarray(mask)
+    img_p, orig = pad_to_mesh(jnp.asarray(image, jnp.float32), mesh)
+    msk_feat, _ = pad_to_mesh(jnp.asarray(mask_np), mesh)
+    msk_count = np.zeros(img_p.shape[:3], dtype=np.uint8)
+    msk_count[: orig[0], : orig[1]] = (mask_np != 0).astype(np.uint8)
+
+    img_s = shard_volume(img_p, mesh)
+    mskf_s = shard_volume(msk_feat, mesh)
+    mskc_s = shard_volume(jnp.asarray(msk_count), mesh)
+
+    out = []
+    for s in sigmas:
+        feats = sharded_features8(img_s, mskf_s, float(s), mesh, spacing,
+                                  truncate, use_fused=use_fused)
+        for k in range(feats.shape[-1]):
+            out.append(
+                masked_fine_histogram(feats[..., k], mskc_s, mesh, n_fine)
+            )
+    return out

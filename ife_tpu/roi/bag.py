@@ -192,6 +192,71 @@ def make_bag_device(
     return np.concatenate(blocks, axis=1).reshape(len(rois), -1)
 
 
+def make_bag_sharded(
+    image: np.ndarray,
+    mask: np.ndarray,
+    sigmas: Sequence[float],
+    hist_edges: Sequence[np.ndarray],
+    rois: Sequence[ROI],
+    mesh,
+    spacing: Sequence[float] = (1.0, 1.0, 1.0),
+    dtype=jnp.float32,
+) -> np.ndarray:
+    """make_bag over a block-sharded mesh: feature volumes never touch the
+    host. Per scale, the 8-channel pass runs sharded (halo-exchange
+    parallel, parallel/features.py) and the per-ROI histograms are taken on
+    device from the still-sharded feature array; only the
+    (n_rois, 8, hist_size) frequency block is fetched. Same layout and bin
+    semantics as make_bag / the reference's MakeBag.cxx:405-486.
+
+    Requires uniform ROI size (fixed-shape dynamic_slice under vmap).
+    Works multi-host: inputs are placed via the global-array path and the
+    replicated frequency block reads identically on every process.
+    """
+    from ife_tpu.parallel.features import sharded_features8
+    from ife_tpu.parallel.launcher import fetch_to_host
+    from ife_tpu.parallel.mesh import pad_to_mesh, shard_volume
+
+    sizes = {r.size for r in rois}
+    if len(sizes) != 1:
+        raise ValueError("sharded bag path requires uniform ROI size")
+    size = sizes.pop()
+    hist_size = _check_hist_spec(hist_edges, NUM_FEATURES * len(sigmas))
+    mask_np = np.clip(np.asarray(mask), 0, 1)
+
+    # pad to the mesh grid; ROIs index the original region only, so the
+    # edge-padded tail is never sliced — feature values in the kept region
+    # match the single-device op exactly (pad_to_mesh composition)
+    img_p, _ = pad_to_mesh(np.asarray(image, np.float32), mesh)
+    msk_p, _ = pad_to_mesh(mask_np, mesh)
+    img_s = shard_volume(jnp.asarray(img_p, dtype), mesh)
+    msk_s = shard_volume(jnp.asarray(msk_p), mesh)
+    starts = jnp.asarray([r.index for r in rois])
+
+    blocks = []
+    for i, sigma in enumerate(sigmas):
+        feats = sharded_features8(img_s, msk_s, float(sigma), mesh,
+                                  tuple(spacing))
+        edges_block = np.stack([
+            np.asarray(hist_edges[i * NUM_FEATURES + k], dtype=np.float64)
+            for k in range(NUM_FEATURES)
+        ])
+        if feats.dtype == jnp.float32:
+            # same f32 edge-rounding rule as make_bag_device: comparing in
+            # f32 matches the f64 convention iff edges round DOWN
+            e32 = edges_block.astype(np.float32)
+            over = e32.astype(np.float64) > edges_block
+            e32[over] = np.nextafter(
+                e32[over], np.float32(-np.inf), dtype=np.float32
+            )
+            edges_block = e32
+        freqs = roi_feature_histograms_device(
+            feats, msk_s, starts, jnp.asarray(edges_block, feats.dtype), size
+        )
+        blocks.append(fetch_to_host(freqs).astype(np.float64))
+    return np.concatenate(blocks, axis=1).reshape(len(rois), -1)
+
+
 def make_bag_intensity(
     image: np.ndarray,
     mask: np.ndarray,

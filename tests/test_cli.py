@@ -268,3 +268,77 @@ def test_extract_features_sharded_matches_unsharded(workdir):
         # f32: sharded/unsharded differ by summation-order ulps
         np.testing.assert_allclose(np.asarray(a.data), np.asarray(b.data),
                                    rtol=1e-5, atol=1e-3)
+
+
+def test_sharded_cli_workflow_with_manifest_restart(workdir, capsys):
+    """The distributed product path (VERDICT round 1, item 3): the
+    reference pipeline's §3.2/§3.3 stages run --sharded over the device
+    mesh, and a --manifest restart skips completed blocks. Self-contained:
+    builds its own single-device outputs to compare against."""
+    d = workdir
+    # single-device references for every stage
+    _run("extract-features", "-i", d / "img.nii.gz", "-m", d / "mask.nii.gz",
+         "-o", d / "hfeat", "-s", "1.0")
+    with open(d / "spairs.txt", "w") as f:
+        f.write(f"{d/'img.nii.gz'},{d/'mask.nii.gz'}\n")
+    _run("determine-bin-edges", "-l", d / "spairs.txt", "-o", d / "hspec.txt",
+         "-s", "1.0", "--bins", "4", "--seed", "0")
+    _run("generate-rois", "-m", d / "mask.nii.gz", "-o", d / "sr.ROIInfo",
+         "-n", "4", "--size", "9,9,9", "--seed", "1")
+    _run("make-bag", "-i", d / "img.nii.gz", "-m", d / "mask.nii.gz",
+         "-b", d / "hspec.txt", "-o", d / "hbag", "-s", "1.0",
+         "-r", d / "sr.ROIInfo")
+
+    # --- extract-features --sharded --manifest ---
+    man = d / "run.manifest.json"
+    _run("extract-features", "-i", d / "img.nii.gz", "-m", d / "mask.nii.gz",
+         "-o", d / "sfeat", "-s", "1.0", "--sharded", "--manifest", man)
+    from ife_tpu.ops.features import FEATURE_NAMES
+
+    single = read_volume(str(d / "hfeat_scale_1GaussianBlur.nii.gz"))
+    shard = read_volume(str(d / "sfeat_scale_1GaussianBlur.nii.gz"))
+    np.testing.assert_allclose(shard.numpy(), single.numpy(), atol=1e-5)
+    assert man.exists()
+    # restart: completed scale is skipped (manifest), new scale runs
+    capsys.readouterr()
+    _run("extract-features", "-i", d / "img.nii.gz", "-m", d / "mask.nii.gz",
+         "-o", d / "sfeat", "-s", "1.0", "1.3", "--sharded",
+         "--manifest", man)
+    out = capsys.readouterr().out
+    assert "Skipping completed scale 1 (manifest)" in out
+    assert "Processing scale 1.3" in out
+    assert (d / f"sfeat_scale_1.3{FEATURE_NAMES[0]}.nii.gz").exists()
+
+    # --- determine-bin-edges --sharded (+ per-image histogram cache) ---
+    eman = d / "edges.manifest.json"
+    _run("determine-bin-edges", "-l", d / "spairs.txt", "-o", d / "sspec.txt",
+         "-s", "1.0", "--bins", "4", "--sharded", "--fine-bins", "1024",
+         "--manifest", eman)
+    from ife_tpu.io import read_hist_spec
+
+    exact = read_hist_spec(str(d / "hspec.txt"))    # host sort path
+    approx = read_hist_spec(str(d / "sspec.txt"))   # scalable path
+    assert len(approx) == 8
+    for e_ex, e_ap in zip(exact, approx):
+        span = max(e_ex[-1] - e_ex[0], 1e-9)
+        np.testing.assert_allclose(e_ap, e_ex, atol=0.1 * span)
+    # restart consumes the cached per-image histograms
+    capsys.readouterr()
+    _run("determine-bin-edges", "-l", d / "spairs.txt", "-o", d / "sspec.txt",
+         "-s", "1.0", "--bins", "4", "--sharded", "--fine-bins", "1024",
+         "--manifest", eman)
+    assert "Loading cached histograms" in capsys.readouterr().out
+
+    # --- make-bag --sharded: bag matches the host bag on the same ROIs ---
+    _run("make-bag", "-i", d / "img.nii.gz", "-m", d / "mask.nii.gz",
+         "-b", d / "hspec.txt", "-o", d / "sbag", "-s", "1.0",
+         "-r", d / "sr.ROIInfo", "--sharded")
+    want = np.loadtxt(d / "hbag.bag", delimiter=",")
+    got = np.loadtxt(d / "sbag.bag", delimiter=",")
+    # equalized edges ARE sampled feature values, so a 1-ulp f32 difference
+    # between the sharded and single-device feature pass can flip a voxel
+    # across a bin boundary: one flip moves 1/|ROI∩mask| ≈ 1/729 of mass
+    # (strict value parity is test_parallel's make_bag_sharded test, which
+    # uses tie-free random edges at 1e-6)
+    assert np.abs(got - want).max() < 3.5e-3
+    np.testing.assert_allclose(got.sum(axis=1), want.sum(axis=1), atol=1e-4)

@@ -122,3 +122,71 @@ def test_features8_sharded_auto_nondivisible_shape():
     want = np.asarray(features8(img, mask, 0.9, SPACING))
     got = np.asarray(features8_sharded_auto(img, mask, 0.9, mesh, SPACING))
     np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_merge_fine_histograms_matches_pooled():
+    # merging per-source fine histograms on different ranges must reproduce
+    # the pooled histogram's CDF to within one source-bin width
+    rng = np.random.default_rng(1)
+    a = rng.normal(0, 1, 100_000)
+    b = rng.normal(3, 2, 50_000)
+    from ife_tpu.parallel import merge_fine_histograms
+    from ife_tpu.stats.equalize import edges_from_dense_counts
+
+    def fine(v, n=2048):
+        bounds = np.linspace(v.min(), v.max(), n + 1)
+        c, _ = np.histogram(v, bins=bounds)
+        return bounds, c.astype(np.float64)
+
+    bounds, counts = merge_fine_histograms([fine(a), fine(b)])
+    assert counts.sum() == pytest.approx(150_000)
+    approx = edges_from_dense_counts(bounds, counts, 8)
+    exact = np.quantile(np.concatenate([a, b]), np.arange(1, 8) / 8)
+    np.testing.assert_allclose(approx, exact, atol=4e-2)
+
+
+def test_sharded_feature_fine_histograms_match_host_quantiles():
+    # the full scalable bin-edge pipeline vs exact quantiles of the
+    # host-materialized feature volume (the reference's sort path)
+    from ife_tpu.parallel import (
+        merge_fine_histograms,
+        sharded_feature_fine_histograms,
+    )
+    from ife_tpu.stats.equalize import edges_from_dense_counts
+
+    img, mask = _data((41, 35, 24))  # non-divisible: exercises zero-pad mask
+    mesh = make_mesh(8, ("x", "y"))
+    sigmas = (1.0,)
+    hists = sharded_feature_fine_histograms(
+        np.asarray(img), np.asarray(mask), sigmas, mesh, SPACING, n_fine=512
+    )
+    assert len(hists) == 8
+    feats = np.asarray(features8(img, mask, 1.0, SPACING))
+    fg = np.asarray(mask) != 0
+    n_fg = fg.sum()
+    for k, (bounds, counts) in enumerate(hists):
+        assert counts.sum() == pytest.approx(n_fg)
+        vals = feats[fg][:, k]
+        approx = edges_from_dense_counts(bounds, counts, 5)
+        exact = np.quantile(vals, np.arange(1, 5) / 5)
+        span = vals.max() - vals.min()
+        tol = max(span / 512 * 1.5, 1e-12)
+        np.testing.assert_allclose(approx, exact, atol=tol)
+
+
+def test_make_bag_sharded_matches_host_bag():
+    from ife_tpu.roi.bag import make_bag, make_bag_sharded
+    from ife_tpu.roi.generate import generate_random_rois
+
+    img, mask = _data((41, 35, 24))
+    img_np = np.asarray(img, np.float32)
+    mask_np = np.asarray(mask).astype(np.uint8)
+    rois = generate_random_rois(mask_np, n=6, size=(9, 9, 9), seed=3)
+    sigmas = (1.0,)
+    rng = np.random.default_rng(2)
+    hist_edges = [np.sort(rng.normal(0, 50, 5)) for _ in range(8)]
+    mesh = make_mesh(8, ("x", "y"))
+    want = make_bag(img_np, mask_np, sigmas, hist_edges, rois, SPACING)
+    got = make_bag_sharded(img_np, mask_np, sigmas, hist_edges, rois, mesh,
+                           SPACING)
+    np.testing.assert_allclose(got, want, atol=1e-6)
