@@ -30,6 +30,15 @@ def main(argv=None) -> int:
         sp.set_defaults(_run=run)
 
     args = p.parse_args(argv)
+    # IFE_PLATFORM pins the JAX backend before first device use — a
+    # sitecustomize may pre-set e.g. "axon,cpu", which plain env vars
+    # cannot override once the interpreter is up (launcher.py does the
+    # same for --sharded; this covers every subcommand).
+    import os
+    if os.environ.get("IFE_PLATFORM"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["IFE_PLATFORM"])
     try:
         return args._run(args) or 0
     except BrokenPipeError:

@@ -182,6 +182,38 @@ def _einsum_axis(W: jnp.ndarray, x: jnp.ndarray, axis: int) -> jnp.ndarray:
     )
 
 
+def _blocked_band_axis(
+    W: jnp.ndarray, x: jnp.ndarray, axis: int, radius: int
+) -> jnp.ndarray:
+    """Band-aware blocked contraction of the (n, n) band matrix W against x
+    along `axis`.
+
+    A dense (n, n) MXU contraction does O(n) FLOPs per voxel for a band of
+    width 2*radius+1 — at n=512, K=13 that is ~40x wasted MXU work, and the
+    measured 19 ms/volume smoothing cost is exactly that FLOP wall. Blocking
+    the OUTPUT axis into tiles of B and contracting each tile against only
+    its (B + 2*radius) input window cuts the per-voxel FLOPs to
+    O(B + 2*radius); B is chosen so the contraction extent is the 128-wide
+    MXU tile (minus what the band halo needs), i.e. ~4x fewer MXU passes at
+    n=512. Slicing the SAME dense W preserves the edge-replication rows
+    exactly, so results are bit-comparable to the dense path up to f32
+    sum-order roundoff.
+    """
+    n = x.shape[axis]
+    B = max(8, 128 - 2 * radius)
+    if n <= B + 2 * radius:  # window would cover everything — dense wins
+        return _einsum_axis(W, x, axis)
+    outs = []
+    for b0 in range(0, n, B):
+        b1 = min(b0 + B, n)
+        lo = max(0, b0 - radius)
+        hi = min(n, b1 + radius)
+        Wb = jax.lax.slice(W, (b0, lo), (b1, hi))
+        xw = jax.lax.slice_in_dim(x, lo, hi, axis=axis)
+        outs.append(_einsum_axis(Wb, xw, axis))
+    return jnp.concatenate(outs, axis=axis)
+
+
 def _conv1d_valid(x_last: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
     """VALID 1D convolution along the last axis: (..., n+K-1) -> (..., n).
 
@@ -234,12 +266,13 @@ def gaussian_smooth_axis(
     radius = gaussian_radius(sigma_vox, truncate)
     if _on_tpu():
         # square band matrix with the edge replication folded into the
-        # boundary rows — no pad pass, one MXU contraction (see
-        # _einsum_axis; identical to the conv path to f32 roundoff)
+        # boundary rows — no pad pass, MXU contractions blocked along the
+        # output axis so the FLOPs track the band width, not n (see
+        # _blocked_band_axis; identical to the conv path to f32 roundoff)
         W = jnp.asarray(
             _band_matrix(x.shape[axis], sigma_vox, radius), dtype=x.dtype
         )
-        return _einsum_axis(W, x, axis)
+        return _blocked_band_axis(W, x, axis, radius)
     taps = jnp.asarray(_gaussian_taps(sigma_vox, radius), dtype=x.dtype)
     xp = _edge_pad(x, axis, radius, radius)
     y = _conv1d_valid(jnp.moveaxis(xp, axis, -1), taps)

@@ -37,9 +37,19 @@ def distributed_init(
     Args default from env: IFE_COORDINATOR (host:port), IFE_NUM_PROCESSES,
     IFE_PROCESS_ID (or JAX_PROCESS_INDEX). Single-process if unset.
     """
+    # IFE_PLATFORM overrides the backend BEFORE it initializes — needed
+    # because a sitecustomize may pin e.g. "axon,cpu" at interpreter start
+    # (env vars alone cannot win); this is how the CPU-simulated multi-host
+    # tests force the virtual-device CPU backend in subprocesses.
+    platform = os.environ.get("IFE_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
     coordinator = coordinator or os.environ.get("IFE_COORDINATOR")
     if coordinator is None:
         return 0, 1
+    if (platform or os.environ.get("JAX_PLATFORMS", "")).startswith("cpu"):
+        # CPU cross-process collectives ride gloo (TPU: XLA owns ICI/DCN)
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
     num_processes = int(
         num_processes or os.environ.get("IFE_NUM_PROCESSES", "1")
     )
