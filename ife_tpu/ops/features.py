@@ -95,29 +95,27 @@ def features8_jit(image, mask, *, sigma, spacing=(1.0, 1.0, 1.0), truncate=4.5):
 
 
 def features8_auto(image, mask, sigma, spacing=(1.0, 1.0, 1.0), truncate=4.5):
-    """features8 with automatic backend dispatch on TPU: the fully-fused
-    Pallas kernel (smoothing included — one HBM round trip for the whole
-    pass) when the smoothing halo fits VMEM, else the staged fused kernel
-    (MXU banded-einsum smoothing + post-smoothing Pallas pass); the
-    XLA-composed expression elsewhere. Returns (X, Y, Z, 8) either way."""
-    if jax.devices()[0].platform == "tpu" and image.ndim == 3:
-        from ife_tpu.kernels.fused import (
-            fused_features8,
-            fused_features8_full,
-            full_fusion_viable,
-        )
+    """features8 with automatic backend dispatch on TPU: the staged fused
+    path (blocked band-matrix MXU smoothing + one post-smoothing Pallas
+    pass for gradient/Hessian/eigen/masking); the XLA-composed expression
+    elsewhere. Returns (X, Y, Z, 8) either way.
 
-        if full_fusion_viable(image.shape, float(sigma), tuple(spacing),
-                              truncate):
-            out = fused_features8_full(
-                image, mask.astype(image.dtype), float(sigma),
-                tuple(spacing), truncate, stack=True,
-            )
-        else:
-            out = fused_features8(
-                image, mask, float(sigma), tuple(spacing), truncate,
-                stack=True,
-            )
+    The fully-fused kernel (fused_features8_full, smoothing folded into
+    the Pallas pass) is NOT dispatched here: measured on a v5e it is no
+    faster than the staged path (44.2 vs 43.4 ms at 512^3 — the in-kernel
+    z band matmul re-pays the dense-band FLOPs per halo window with ~3x x
+    read amplification) and its on-chip output is wrong in the derivative
+    channels (halo cells of the smoothed block; interpreter-mode parity is
+    1e-14, so it is a Mosaic-lowering issue — see benchmarks/probe_full.py
+    and docs/design.md). It stays available for explicit/experimental use.
+    """
+    if jax.devices()[0].platform == "tpu" and image.ndim == 3:
+        from ife_tpu.kernels.fused import fused_features8
+
+        out = fused_features8(
+            image, mask, float(sigma), tuple(spacing), truncate,
+            stack=True,
+        )
         return jnp.moveaxis(out, 0, -1)
     return features8_jit(
         image, mask, sigma=float(sigma), spacing=tuple(spacing),

@@ -163,26 +163,12 @@ def _features8_block(
     m = jnp.clip(msk, 0, 1)
     mf = m.astype(img.dtype)
 
-    if use_fused:
-        # fully-fused per-shard kernel when the smoothing halo fits: the
-        # halo-exchanged raw image/mask blocks ARE the pre-padded inputs
-        # fused_features8_full expects (smoothing + stencils + eigen +
-        # masking in one kernel; see kernels/fused.py)
-        from ife_tpu.kernels.fused import (
-            fused_features8_full,
-            full_fusion_radii,
-            full_fusion_viable,
-        )
-
-        if full_fusion_viable(img.shape, sigma, spacing, truncate):
-            rx, ry, _ = full_fusion_radii(sigma, spacing, truncate)
-            img_ext = _halo_or_edge_pad(img, sharded_axes, (rx + 1, ry + 1))
-            msk_ext = _halo_or_edge_pad(mf, sharded_axes, (rx + 1, ry + 1))
-            out = fused_features8_full(
-                img_ext, msk_ext, sigma, tuple(spacing), truncate,
-                pre_padded=True, stack=True,
-            )
-            return jnp.moveaxis(out, 0, -1)
+    # NOTE: the fully-fused per-shard kernel (fused_features8_full with
+    # pre_padded halo blocks) is deliberately NOT dispatched: it measures
+    # no faster than the staged path and its on-chip derivative channels
+    # are wrong (see ops/features.py features8_auto and
+    # benchmarks/probe_full.py); the staged per-shard path below is the
+    # verified product path.
 
     # numerator and denominator smoothed separately (channel-stacking
     # measures ~2x slower on TPU — see normalized_gaussian_convolution)
