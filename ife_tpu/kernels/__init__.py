@@ -9,5 +9,6 @@ feature channels — the memory-bound speed-of-light path.
 """
 from ife_tpu.kernels.fused import (  # noqa: F401
     fused_features8,
+    fused_features8_xs,
     fused_hessian_eig,
 )

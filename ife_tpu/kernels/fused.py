@@ -41,6 +41,18 @@ def _clamp_shift_z(s: jnp.ndarray, off: int) -> jnp.ndarray:
     raise ValueError(off)
 
 
+def _clamp_shift_z_roll(s: jnp.ndarray, off: int) -> jnp.ndarray:
+    """Edge-clamped lane shift via pltpu.roll (a single lane rotate)
+    instead of the slice+concat pair: concat across the lane axis lowers
+    to two relayout copies, roll to one. The wrapped-around boundary lane
+    is patched with a lane-index select (cheap VPU op)."""
+    Z = s.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1)
+    rolled = pltpu.roll(s, (-off) % Z, axis=s.ndim - 1)
+    edge = Z - 1 if off == 1 else 0
+    return jnp.where(lane == edge, s, rolled)
+
+
 def _window_pipeline(x_hbm, scratch, sem, bx, by, wy, n_buf, ex=None):
     """Fetch this grid step's halo window into VMEM. n_buf=2: prefetch the
     next step's window into the other slot so HBM reads overlap compute
@@ -49,7 +61,7 @@ def _window_pipeline(x_hbm, scratch, sem, bx, by, wy, n_buf, ex=None):
     claim most of the 16MB).
 
     DMA window: (ex, wy, Z) — ex defaults to bx+2 (radius-1 stencil halo);
-    the fully-fused kernel passes the smoothing-extended extent. wy is the
+    the xs kernel passes the smoothing-extended extent. wy is the
     y window extent rounded up to the f32 sublane multiple (8) — an
     unaligned sublane extent in a manual DMA faults the TPU worker (found
     the hard way); the input is pre-padded so the widened window never
@@ -90,7 +102,7 @@ def _window_pipeline(x_hbm, scratch, sem, bx, by, wy, n_buf, ex=None):
     return scratch[step % 2]
 
 
-def _stencil_block(s, hx, hy, hz):
+def _stencil_block(s, hx, hy, hz, zshift="concat"):
     """All central-difference derivatives of the halo window s
     (bx+2, by+2, Z). Multiply-by-reciprocal (constants folded in f64 at
     trace time, exactly like ops.stencil.derivative) — VPU divides run at
@@ -116,8 +128,9 @@ def _stencil_block(s, hx, hy, hz):
     # here, and mixed central differences with clamped boundaries commute
     # exactly (same clamped index set as the reference's cascade order;
     # only f32 association differs, at the ulp level).
-    s_p = _clamp_shift_z(s, 1)
-    s_m = _clamp_shift_z(s, -1)
+    shift = _clamp_shift_z_roll if zshift == "roll" else _clamp_shift_z
+    s_p = shift(s, 1)
+    s_m = shift(s, -1)
     dz_w = (s_p - s_m) * r2z                          # (bx+2, by+2, Z)
     dzz = (
         s_p[1:-1, 1:-1, :] - 2 * core + s_m[1:-1, 1:-1, :]
@@ -135,10 +148,19 @@ def _stencil_block(s, hx, hy, hz):
 
 
 def _kernel(x_hbm, o0, o1, o2, o3, o4, o5, scratch, sem, *, bx, by, wy,
-            hx, hy, hz, n_buf):
+            hx, hy, hz, n_buf, variant="concat"):
     win = _window_pipeline(x_hbm, scratch, sem, bx, by, wy, n_buf)
     s = win[:, : by + 2, :]  # (bx+2, by+2, Z)
-    _, dxx, dyy, dzz, dxy, dxz, dyz, _, _, _ = _stencil_block(s, hx, hy, hz)
+    if variant == "copyfloor":
+        # roofline probe: same HBM traffic (read window + write 6 blocks),
+        # near-zero compute — measures the DMA floor of this kernel shape
+        core = s[1:-1, 1:-1, :]
+        for k, ref in enumerate((o0, o1, o2, o3, o4, o5)):
+            ref[:] = core + jnp.asarray(float(k), s.dtype)
+        return
+    _, dxx, dyy, dzz, dxy, dxz, dyz, _, _, _ = _stencil_block(
+        s, hx, hy, hz, zshift=variant
+    )
 
     # channel order [Dxx, Dxy, Dxz, Dyy, Dyz, Dzz] == packed [A11..A33];
     # use_trig=False: polynomial path (no acos in Mosaic); diag_path=False:
@@ -179,39 +201,30 @@ def _features8_kernel(s_hbm, m_ref, o0, o1, o2, o3, o4, o5, o6, o7,
         ref[:] = jnp.where(inside, val, zero)
 
 
-def _features8_full_kernel(img_hbm, msk_hbm, wy_ref, wzt_ref,
-                           o0, o1, o2, o3, o4, o5, o6, o7,
-                           img_s, msk_s, ys, sem_i, sem_m, *,
-                           bx, by, wyr, nxw, rx, ry, taps_x, hx, hy, hz,
-                           n_buf, precision):
-    """The ENTIRE features8 pass in one kernel: normalized Gaussian
-    smoothing + divide + gradient magnitude + 6-channel Hessian + eigen
-    features + masking (reference ImageToEmphysemaFeaturesFilter.hxx:14-55
-    end to end). HBM traffic = read img+mask halo windows + write 8
-    channels — no smoothed/Hessian intermediates ever round-trip HBM.
+def _features8_xs_kernel(n_hbm, c_hbm, m_ref, o0, o1, o2, o3, o4, o5, o6,
+                         o7, n_s, c_s, sem_n, sem_c, *, bx, by, wy, nxw,
+                         x_true, taps_x, hx, hy, hz, n_buf, zshift):
+    """features8 with the x-axis smoothing + normalized-convolution divide
+    folded into the post-smoothing pass: inputs are the y/z-smoothed
+    numerator (image*mask) and denominator (mask) volumes; this kernel
+    finishes the separable smoothing along x (leading-axis tap FMAs — pure
+    VPU, zero relayouts), divides (no epsilon — reference
+    NormalizedGaussianConvolutionImageFilter.hxx:57-58), and runs the
+    gradient/Hessian/eigen/masking chain of _features8_kernel on the
+    result. Saves the smoothed volume's HBM round trip plus the two
+    x-axis MXU passes of the staged path.
 
-    Smoothing is separable and each axis rides its cheapest unit:
-      * x (major axis): tap FMAs over leading-axis slices — address offsets,
-        zero relayouts, VPU;
-      * y: per-leading-row (ny2, wyr) @ (wyr, Z) matmuls on the MXU
-        (VALID Toeplitz taps; contraction along the sublane axis would
-        otherwise need a transpose across the lane layout);
-      * z (lane axis): ONE merged (2*nx1*ny2, Z) @ (Z, Z) band-matrix
-        matmul on the MXU — numerator and denominator stacked along rows;
-        unaligned lane shifts are the expensive op class, the MXU eats the
-        band matrix's O(Z)-vs-O(taps) FLOP overhead (measured 5.4x faster
-        than the conv lowering at 512^3, benchmarks/probe5.py).
-
-    True-edge ZeroFluxNeumann comes from the host-side edge pad (x/y) and
-    clamp rows folded into the z band matrix (_z_band_matrix_t), so the
-    result matches ops.features.features8 to f32 roundoff.
-    """
-    img_w = _window_pipeline(img_hbm, img_s, sem_i, bx, by, wyr, n_buf,
-                             ex=nxw)
-    msk_w = _window_pipeline(msk_hbm, msk_s, sem_m, bx, by, wyr, n_buf,
-                             ex=nxw)
-    dt = img_w.dtype
-    cm = jnp.clip(msk_w, 0, 1)
+    x_true: the true (unpadded) X extent. The derivative stencils need
+    ZeroFluxNeumann on the SMOOTHED image (s(-1) := s(0), s(X) := s(X-1)
+    — exactly what itk::DerivativeImageFilter's boundary does on the
+    smoothed input, Hessian3DImageFilter.hxx:19-59). The y/z halos get
+    this from the host-side edge pad of the y/z-smoothed inputs (x-pass
+    is per-column, so padded columns stay exact replicas), but the x halo
+    rows are PRODUCED here, so they are re-clamped in-kernel by global
+    row index."""
+    nwin = _window_pipeline(n_hbm, n_s, sem_n, bx, by, wy, n_buf, ex=nxw)
+    cwin = _window_pipeline(c_hbm, c_s, sem_c, bx, by, wy, n_buf, ex=nxw)
+    dt = nwin.dtype
     nx1 = bx + 2
 
     def xpass(a):
@@ -220,37 +233,25 @@ def _features8_full_kernel(img_hbm, msk_hbm, wy_ref, wzt_ref,
             acc = acc + jnp.asarray(taps_x[t], dt) * a[t:t + nx1]
         return acc
 
-    t_x = xpass(img_w * cm)          # (nx1, wyr, Z) numerator, x-smoothed
-    c_x = xpass(cm)                  # (nx1, wyr, Z) denominator
-    a = jnp.concatenate([t_x, c_x], axis=0)  # leading concat: free
+    s = (xpass(nwin) / xpass(cwin))[:, : by + 2, :]  # (nx1, by+2, Z)
 
-    # y-pass: per-row MXU matmuls into the ys scratch
-    Wy = wy_ref[:]                   # (ny2, wyr)
-    for r in range(2 * nx1):
-        ys[r] = jnp.dot(Wy, a[r], precision=precision,
-                        preferred_element_type=dt)
-
-    # z-pass: one merged band matmul over all rows of num+den
-    yv = ys[:]                       # (2*nx1, ny2, Z)
-    ny2 = yv.shape[1]
-    Z = yv.shape[2]
-    flat = yv.reshape(2 * nx1 * ny2, Z)
-    sz = jnp.dot(flat, wzt_ref[:], precision=precision,
-                 preferred_element_type=dt).reshape(2 * nx1, ny2, Z)
-
-    # normalized-convolution divide (no epsilon — reference
-    # NormalizedGaussianConvolutionImageFilter.hxx:57-58; nan/inf outside
-    # the mask support is zeroed by the masking below)
-    s = (sz[:nx1] / sz[nx1:])[:, : by + 2, :]   # (nx1, by+2, Z)
+    # true-edge clamp of the smoothed x-halo rows (see docstring). Window
+    # row r is global row i*bx - 1 + r; rows outside [0, x_true-1] copy
+    # their inward neighbor. Two leading-axis shifts + selects — cheap.
+    i = pl.program_id(0)
+    grow = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + (i * bx - 1)
+    s_up = jnp.concatenate([s[1:], s[-1:]], axis=0)    # s_up[r] = s[r+1]
+    s_dn = jnp.concatenate([s[:1], s[:-1]], axis=0)    # s_dn[r] = s[r-1]
+    s = jnp.where(grow < 0, s_up, jnp.where(grow > x_true - 1, s_dn, s))
 
     core, dxx, dyy, dzz, dxy, dxz, dyz, dx_c, dy, dz_c = _stencil_block(
-        s, hx, hy, hz
+        s, hx, hy, hz, zshift=zshift
     )
     gm = jnp.sqrt(dx_c * dx_c + dy * dy + dz_c * dz_c)
     feats = eigenvalue_feature_channels(
         dxx, dxy, dxz, dyy, dyz, dzz, use_trig=False, diag_path=False
     )
-    inside = cm[rx + 1: rx + 1 + bx, ry + 1: ry + 1 + by, :] != 0
+    inside = m_ref[:] != 0
     zero = jnp.asarray(0, dt)
     o0[:] = jnp.where(inside, core, zero)
     o1[:] = jnp.where(inside, gm, zero)
@@ -268,36 +269,6 @@ def _smooth_taps(sigma: float, spacing: float, truncate: float):
     sigma_vox = float(sigma) / float(spacing)
     radius = gaussian_radius(sigma_vox, truncate)
     return tuple(float(t) for t in _gaussian_taps(sigma_vox, radius)), radius
-
-
-@functools.lru_cache(maxsize=256)
-def _y_valid_matrix(ny2: int, wyr: int, taps, ny1: int) -> np.ndarray:
-    """(ny2, wyr) VALID Toeplitz rows of the y taps; rows >= ny1 duplicate
-    row ny1-1 (sublane-alignment slack — their outputs are never kept)."""
-    W = np.zeros((ny2, wyr), dtype=np.float64)
-    for v in range(ny2):
-        vv = min(v, ny1 - 1)
-        for t_idx, t in enumerate(taps):
-            W[v, vv + t_idx] += t
-    return W
-
-
-@functools.lru_cache(maxsize=256)
-def _z_band_matrix_t(Zp: int, Z: int, taps) -> np.ndarray:
-    """(Zp, Zp) TRANSPOSED band matrix for the lane-axis smoothing:
-    out[.., o] = sum_i in[.., i] * W[i, o]. Clamp at the TRUE edges [0, Z-1]
-    (ZeroFluxNeumann) is folded into the rows; output rows o >= Z (the
-    lane-tile alignment pad) copy row Z-1 so the radius-1 z stencils that
-    read one plane past the edge see the replicated boundary plane,
-    exactly like the edge-padded input of the staged kernels."""
-    r = (len(taps) - 1) // 2
-    W = np.zeros((Zp, Zp), dtype=np.float64)
-    for o in range(Zp):
-        oo = min(o, Z - 1)
-        for t_idx, t in enumerate(taps):
-            src = min(max(oo + t_idx - r, 0), Z - 1)
-            W[src, o] += t
-    return W
 
 
 def _pick_block(n: int, target: int):
@@ -336,7 +307,7 @@ def _pick_n_buf(bx: int, by: int, wy: int, Z: int, n_out: int,
 
 @functools.partial(
     jax.jit, static_argnames=("spacing", "block", "interpret", "stack",
-                              "pre_padded")
+                              "pre_padded", "variant", "n_buf")
 )
 def fused_hessian_eig(
     x: jax.Array,
@@ -345,6 +316,8 @@ def fused_hessian_eig(
     interpret: bool = False,
     stack: bool = True,
     pre_padded: bool = False,
+    variant: str = "concat",
+    n_buf: int | None = None,
 ):
     """Six eigen features of the Hessian in one fused HBM pass.
 
@@ -398,9 +371,11 @@ def fused_hessian_eig(
             mode="edge",
         )
 
-    n_buf = _pick_n_buf(bx, by, wy, Z, 6, x.dtype.itemsize)
+    if n_buf is None:
+        n_buf = _pick_n_buf(bx, by, wy, Z, 6, x.dtype.itemsize)
     kernel = functools.partial(
-        _kernel, bx=bx, by=by, wy=wy, hx=hx, hy=hy, hz=hz, n_buf=n_buf
+        _kernel, bx=bx, by=by, wy=wy, hx=hx, hy=hy, hz=hz, n_buf=n_buf,
+        variant=variant,
     )
     out_spec = pl.BlockSpec(
         (bx, by, Z), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
@@ -545,10 +520,9 @@ def fused_features8_post(
 
 @functools.partial(
     jax.jit, static_argnames=("sigma", "spacing", "truncate", "block",
-                              "interpret", "stack", "pre_padded",
-                              "precision")
+                              "interpret", "stack", "variant")
 )
-def fused_features8_full(
+def fused_features8_xs(
     image: jax.Array,
     mask: jax.Array,
     sigma: float,
@@ -557,102 +531,82 @@ def fused_features8_full(
     block=(8, 128),
     interpret: bool = False,
     stack: bool = True,
-    pre_padded: bool = False,
-    precision: str = "highest",
+    variant: str = "concat",
 ):
-    """features8 as ONE fused Pallas pass, smoothing included.
+    """features8 with smoothing split across its cheapest units: y and z
+    Gaussian passes ride the XLA blocked-band MXU einsums (2 passes each
+    for numerator and denominator), while the x pass, the normalized-
+    convolution divide, and the whole gradient/Hessian/eigen/mask chain
+    fuse into ONE Pallas kernel (_features8_xs_kernel).
 
-    Unlike fused_features8 (which stages the normalized-Gaussian smoothing
-    through HBM as XLA banded einsums), this kernel reads each raw
-    image/mask halo window once and produces the 8 masked feature channels
-    directly — the whole reference DAG
-    (ImageToEmphysemaFeaturesFilter.hxx:14-55) in a single HBM round trip.
-    The halo radius is the smoothing radius + 1 (stencils), so it is the
-    right choice for small/medium sigma; for very large sigma the window
-    read amplification exceeds the staged path's smoothing traffic and
-    features8_auto dispatches to fused_features8 instead.
+    vs fused_features8 (the fully-staged path) this removes per scale:
+    the two x-axis MXU passes, the divide pass, and the smoothed volume's
+    full HBM round trip (write + halo-amplified read) — the largest
+    single chunk of the staged path's traffic.
 
-    Args mirror fused_features8; additionally:
-      pre_padded: image and mask already carry the full halo layer
-        (radius gaussian_radius+1 per axis) on X and Y — e.g. halo-extended
-        shard blocks from ife_tpu.parallel.halo. Shapes then are
-        (X + 2*(rx+1), Y + 2*(ry+1), Z) for an (X, Y, Z) core.
-      precision: MXU precision for the in-kernel smoothing matmuls
-        ("highest" = 6-pass f32 emulation, "high" = 3-pass bf16x3 —
-        ~2x faster, ~1e-6 relative smoothing error).
+    vs the retired fused_features8_full (everything in one kernel) the
+    in-kernel work is VPU-only (leading-axis tap FMAs + divide): no
+    in-kernel matmuls, no ys scratch — the pieces implicated in that
+    kernel's on-chip mis-lowering. Everything downstream of the divide is
+    the byte-identical code path of the proven _features8_kernel.
 
-    Returns (8, X, Y, Z) channel-first when stack=True, else a tuple of 8
-    arrays; jnp.moveaxis(out, 0, -1) matches ops.features.features8.
+    Semantics: reference ImageToEmphysemaFeaturesFilter.hxx:14-55 end to
+    end. Returns (8, X, Y, Z) when stack=True, else a tuple of 8 arrays;
+    jnp.moveaxis(out, 0, -1) matches ops.features.features8.
     """
-    prec = jax.lax.Precision(precision)
+    from ife_tpu.ops.stencil import gaussian_smooth_axis
+
     hx, hy, hz = (float(v) for v in spacing)
     taps_x, rx = _smooth_taps(float(sigma), hx, float(truncate))
-    taps_y, ry = _smooth_taps(float(sigma), hy, float(truncate))
-    taps_z, rz = _smooth_taps(float(sigma), hz, float(truncate))
-    Hx, Hy = rx + 1, ry + 1
+    Hx = rx + 1  # smoothing halo + stencil halo
 
-    if pre_padded:
-        X, Y, Zin = (image.shape[0] - 2 * Hx, image.shape[1] - 2 * Hy,
-                     image.shape[2])
-    else:
-        X, Y, Zin = image.shape
-    # lane-tile alignment of the DMA window (see fused_hessian_eig); the z
-    # band matrix clamps at the TRUE edge Z-1, so the pad content is never
-    # read by the smoothing — only by nothing at all (clamp rows cover the
-    # radius-1 stencil reads past Z too).
+    X, Y, Zin = image.shape
+    m = jnp.clip(mask, 0, 1)
+    mf = m.astype(image.dtype)
+
+    def smooth_yz(v):
+        v = gaussian_smooth_axis(v, 1, sigma, hy, truncate)
+        return gaussian_smooth_axis(v, 2, sigma, hz, truncate)
+
+    num = smooth_yz(image * mf)
+    den = smooth_yz(mf)
+
+    # lane-tile alignment of the DMA window (see fused_hessian_eig);
+    # edge-pad AFTER smoothing so the pad plane replicates the smoothed
+    # boundary exactly (what the z stencil's clamp wants to see)
     Z = Zin if interpret else -(-Zin // 128) * 128
     if Z != Zin:
-        image = jnp.pad(image, ((0, 0), (0, 0), (0, Z - Zin)), mode="edge")
-        mask = jnp.pad(mask, ((0, 0), (0, 0), (0, Z - Zin)), mode="edge")
+        num = jnp.pad(num, ((0, 0), (0, 0), (0, Z - Zin)), mode="edge")
+        den = jnp.pad(den, ((0, 0), (0, 0), (0, Z - Zin)), mode="edge")
+        m = jnp.pad(m, ((0, 0), (0, 0), (0, Z - Zin)), mode="edge")
     tx, ty = (block, block) if isinstance(block, int) else block
     bx, Xp = _pick_block(X, tx)
     by, Yp = _pick_block(Y, ty)
-    nxw = bx + 2 + 2 * rx                      # x window extent
-    ny1 = by + 2
-    ny2 = -(-ny1 // 8) * 8                     # y matmul rows, sublane pad
-    wyr = -(-(ny1 + 2 * ry) // 8) * 8          # sublane-aligned DMA extent
+    wy = -(-(by + 2) // 8) * 8  # sublane-aligned DMA window extent
+    nxw = bx + 2 + 2 * rx       # x window: stencil halo + smoothing taps
 
-    # pad so every window is in bounds: halo Hx/Hy (edge replication =
-    # ZeroFluxNeumann at true faces; already present when pre_padded),
-    # grid-multiple slack on x/y, and the y alignment slack — slack voxels
-    # only ever feed outputs that are sliced away.
-    x_hi = (Xp - X) + (nxw - (bx + 2 + 2 * rx))          # = Xp - X
-    y_hi = (Yp - Y) + (wyr - (ny1 + 2 * ry))
-    if pre_padded:
-        img_p = jnp.pad(image, ((0, x_hi), (0, y_hi), (0, 0)), mode="edge")
-        msk_p = jnp.pad(mask, ((0, x_hi), (0, y_hi), (0, 0)), mode="edge")
-    else:
-        img_p = jnp.pad(
-            image, ((Hx, Hx + x_hi), (Hy, Hy + y_hi), (0, 0)), mode="edge"
-        )
-        msk_p = jnp.pad(
-            mask, ((Hx, Hx + x_hi), (Hy, Hy + y_hi), (0, 0)), mode="edge"
-        )
-    msk_p = msk_p.astype(img_p.dtype)
+    # x halo Hx per side (+ grid slack high), y halo 1 (+ alignment slack):
+    # the in-kernel x-pass is per-column, so edge-replicated columns stay
+    # exact replicas and the y stencil clamp is exact; the x halo rows are
+    # re-clamped in-kernel by global row index (see kernel docstring).
+    pad_x = (Hx, Hx + (Xp - X))
+    pad_y = (1, (Yp - Y) + wy - by - 1)
+    num = jnp.pad(num, (pad_x, pad_y, (0, 0)), mode="edge")
+    den = jnp.pad(den, (pad_x, pad_y, (0, 0)), mode="edge")
+    if (Xp, Yp) != (X, Y):
+        m = jnp.pad(m, ((0, Xp - X), (0, Yp - Y), (0, 0)), mode="edge")
 
-    Wy = jnp.asarray(_y_valid_matrix(ny2, wyr, taps_y, ny1), img_p.dtype)
-    Wzt = jnp.asarray(_z_band_matrix_t(Z, Zin, taps_z), img_p.dtype)
-
-    # VMEM model: 8 double-buffered output blocks + 2 windows x n_buf +
-    # the ys scratch + ~10 block-sized temporaries.
-    item = img_p.dtype.itemsize
-    nx1 = bx + 2
-    est1 = item * Z * (
-        16 * bx * by + 2 * nxw * wyr + 2 * nx1 * ny2 + 12 * bx * by
-    )
-    est2 = est1 + item * Z * 2 * nxw * wyr
-    n_buf = 2 if est2 <= int(0.8 * _VMEM_LIMIT) else 1
+    # VMEM: 8 double-buffered outputs + mask blocks + 2 windows x n_buf
+    item = image.dtype.itemsize
+    est = item * Z * (2 * 9 * bx * by + 2 * 2 * nxw * wy + 8 * nxw * wy)
+    n_buf = 2 if est <= int(0.8 * _VMEM_LIMIT) else 1
 
     kernel = functools.partial(
-        _features8_full_kernel, bx=bx, by=by, wyr=wyr, nxw=nxw, rx=rx,
-        ry=ry, taps_x=taps_x, hx=hx, hy=hy, hz=hz, n_buf=n_buf,
-        precision=prec,
+        _features8_xs_kernel, bx=bx, by=by, wy=wy, nxw=nxw, x_true=X,
+        taps_x=taps_x, hx=hx, hy=hy, hz=hz, n_buf=n_buf, zshift=variant,
     )
     blk_spec = pl.BlockSpec(
         (bx, by, Z), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
-    )
-    const_spec = pl.BlockSpec(
-        memory_space=pltpu.VMEM  # whole array, same block every step
     )
     outs = pl.pallas_call(
         kernel,
@@ -660,15 +614,13 @@ def fused_features8_full(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            const_spec,
-            const_spec,
+            blk_spec,
         ],
         out_specs=[blk_spec] * 8,
-        out_shape=[jax.ShapeDtypeStruct((Xp, Yp, Z), img_p.dtype)] * 8,
+        out_shape=[jax.ShapeDtypeStruct((Xp, Yp, Z), image.dtype)] * 8,
         scratch_shapes=[
-            pltpu.VMEM((n_buf, nxw, wyr, Z), img_p.dtype),
-            pltpu.VMEM((n_buf, nxw, wyr, Z), img_p.dtype),
-            pltpu.VMEM((2 * nx1, ny2, Z), img_p.dtype),
+            pltpu.VMEM((n_buf, nxw, wy, Z), image.dtype),
+            pltpu.VMEM((n_buf, nxw, wy, Z), image.dtype),
             pltpu.SemaphoreType.DMA((n_buf,)),
             pltpu.SemaphoreType.DMA((n_buf,)),
         ],
@@ -676,45 +628,9 @@ def fused_features8_full(
             vmem_limit_bytes=_VMEM_LIMIT
         ),
         interpret=interpret,
-    )(img_p, msk_p, Wy, Wzt)
+    )(num, den, m)
     if (Xp, Yp, Z) != (X, Y, Zin):
         outs = [o[:X, :Y, :Zin] for o in outs]
     if stack:
         return jnp.stack(outs, axis=0)
     return tuple(outs)
-
-
-def full_fusion_radii(sigma, spacing, truncate=4.5):
-    """Per-axis smoothing radii the full kernel would use (dispatch aid)."""
-    return tuple(
-        _smooth_taps(float(sigma), float(s), float(truncate))[1]
-        for s in spacing
-    )
-
-
-def full_fusion_viable(shape, sigma, spacing, truncate=4.5, block=(8, 128),
-                       itemsize=4) -> bool:
-    """Whether fused_features8_full fits this (shape, sigma): the halo
-    window (smoothing radius + 1 per side) must leave the single-buffered
-    VMEM estimate under budget, and the window read amplification must not
-    exceed the staged path's smoothing traffic (~6 axis passes). Large
-    sigmas dispatch to fused_features8 (XLA banded-einsum smoothing +
-    post kernel) instead."""
-    rx = _smooth_taps(float(sigma), float(spacing[0]), float(truncate))[1]
-    ry = _smooth_taps(float(sigma), float(spacing[1]), float(truncate))[1]
-    tx, ty = (block, block) if isinstance(block, int) else block
-    bx, _ = _pick_block(shape[0], tx)
-    by, _ = _pick_block(shape[1], ty)
-    Z = -(-shape[2] // 128) * 128
-    nxw = bx + 2 + 2 * rx
-    ny1 = by + 2
-    ny2 = -(-ny1 // 8) * 8
-    wyr = -(-(ny1 + 2 * ry) // 8) * 8
-    est1 = itemsize * Z * (
-        16 * bx * by + 2 * nxw * wyr + 2 * (bx + 2) * ny2 + 12 * bx * by
-    )
-    if est1 > int(0.92 * _VMEM_LIMIT):
-        return False
-    # read amplification of the two input windows vs the kept block
-    amp = (nxw * wyr) / float(bx * by)
-    return amp <= 8.0

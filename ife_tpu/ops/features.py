@@ -100,14 +100,14 @@ def features8_auto(image, mask, sigma, spacing=(1.0, 1.0, 1.0), truncate=4.5):
     pass for gradient/Hessian/eigen/masking); the XLA-composed expression
     elsewhere. Returns (X, Y, Z, 8) either way.
 
-    The fully-fused kernel (fused_features8_full, smoothing folded into
-    the Pallas pass) is NOT dispatched here: measured on a v5e it is no
-    faster than the staged path (44.2 vs 43.4 ms at 512^3 — the in-kernel
-    z band matmul re-pays the dense-band FLOPs per halo window with ~3x x
-    read amplification) and its on-chip output is wrong in the derivative
-    channels (halo cells of the smoothed block; interpreter-mode parity is
-    1e-14, so it is a Mosaic-lowering issue — see benchmarks/probe_full.py
-    and docs/design.md). It stays available for explicit/experimental use.
+    A fully-fused kernel (fused_features8_full, ALL smoothing inside one
+    Pallas pass via in-kernel MXU matmuls) was built in round 2, measured
+    no faster than the staged path (44.2 vs 43.4 ms at 512^3), produced
+    wrong derivative channels on real hardware (interpreter parity was
+    1e-14 — a Mosaic lowering fault in the in-kernel matmul/scratch path),
+    and was DELETED in round 3; docs/design.md records the negative
+    result. Its successor fused_features8_xs folds only the x-axis
+    smoothing + divide into the kernel (VPU-only in-kernel work).
     """
     if jax.devices()[0].platform == "tpu" and image.ndim == 3:
         from ife_tpu.kernels.fused import fused_features8

@@ -163,12 +163,12 @@ def _features8_block(
     m = jnp.clip(msk, 0, 1)
     mf = m.astype(img.dtype)
 
-    # NOTE: the fully-fused per-shard kernel (fused_features8_full with
-    # pre_padded halo blocks) is deliberately NOT dispatched: it measures
-    # no faster than the staged path and its on-chip derivative channels
-    # are wrong (see ops/features.py features8_auto and
-    # benchmarks/probe_full.py); the staged per-shard path below is the
-    # verified product path.
+    # NOTE: a fully-fused per-shard kernel (fused_features8_full, all
+    # smoothing inside the kernel via in-kernel MXU matmuls) was built,
+    # measured no faster than the staged path, produced wrong on-chip
+    # derivative channels (Mosaic lowering fault), and was deleted in
+    # round 3 — negative result recorded in docs/design.md. The staged
+    # per-shard path below is the verified product path.
 
     # numerator and denominator smoothed separately (channel-stacking
     # measures ~2x slower on TPU — see normalized_gaussian_convolution)
