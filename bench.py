@@ -2,11 +2,20 @@
 
 The BASELINE.json metric ("Hessian+eig voxels/sec/chip at 512^3"). The
 reference publishes no numbers (BASELINE.md), so vs_baseline is measured
-against a NumPy re-derivation of the same pipeline on the host CPU —
-the honest single-node stand-in for the reference's ITK implementation.
+against a PINNED NumPy re-derivation of the same pipeline on the host CPU
+(BASELINE_CPU.json, median of 5 recorded runs — the honest single-node
+stand-in for the reference's ITK implementation; pinned so the multiplier
+does not swing with host load).
 
 Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "voxels/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "voxels/sec/chip", "vs_baseline": N,
+   "verify": {...on-chip fused-vs-XLA parity report...}}
+
+The verify block is the on-chip regression gate: interpreter-mode tests
+cannot catch Mosaic lowering faults (round 2 proved they are real — see
+docs/design.md on fused_features8_full), so the bench the driver runs
+fails loudly if any fused kernel diverges from the XLA-composed ops on
+the real device.
 """
 import json
 import os
@@ -20,6 +29,9 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
+_BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BASELINE_CPU.json")
+
 
 def _device_kind():
     import jax
@@ -28,17 +40,37 @@ def _device_kind():
     return d.platform, d.device_kind
 
 
-def bench_tpu(shape, inner=10, reps=3, use_fused=True):
-    """Per-pass device time for the full feature-volume materialization.
+def _loop_time(fn, x, *rest, inner=10, reps=3):
+    """Per-pass device time via the loop-amortized method: `inner` serial
+    passes inside ONE jit (each pass consumes the previous output), one
+    data-dependent scalar fetched, divided by inner — the only timing
+    that survives the axon tunnel's RPC jitter (block_until_ready returns
+    early through the tunnel; single-shot wall timing is noisy to ±2x).
+    `rest` are constant jit PARAMETERS (never close over big device
+    arrays — they embed in the compile payload and the tunnel rejects it,
+    HTTP 413)."""
+    import jax
 
-    Timing through the axon tunnel is noisy (RPC floor ~25-45 ms,
-    block_until_ready returns early, pool contention), so the kernel is
-    invoked `inner` times INSIDE one jit with a serial data dependence
-    (each pass consumes the previous pass's first output channel) and the
-    loop is timed as a unit via a data-dependent scalar fetch; per-pass
-    time = loop time / inner, best of `reps` (RPC jitter is amortized to
-    noise/inner and can only inflate, never deflate, the result).
-    """
+    shape = x.shape
+
+    @jax.jit
+    def loop(v, *r):
+        def body(_, c):
+            out = fn(c, *r)
+            return out if out.shape == shape else out[..., 0]
+        return jax.lax.fori_loop(0, inner, body, v)[0, 0].sum()
+
+    float(loop(x, *rest))  # compile + warm
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(loop(x, *rest))
+        ts.append(time.perf_counter() - t0)
+    return min(ts) / inner
+
+
+def bench_tpu(shape, inner=10, reps=3, use_fused=True):
+    """Per-pass device time for the full feature-volume materialization."""
     import jax
     import jax.numpy as jnp
     from ife_tpu.kernels.fused import fused_hessian_eig
@@ -57,25 +89,24 @@ def bench_tpu(shape, inner=10, reps=3, use_fused=True):
         def one_pass(v):
             return hessian_eig_features(v, (0.78, 0.78, 1.0))[..., 0]
 
-    @jax.jit
-    def loop(v):
-        out = jax.lax.fori_loop(0, inner, lambda _, c: one_pass(c), v)
-        return out[0, 0].sum()  # data-dependent completion witness
-
-    float(loop(x))  # compile + warm
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(loop(x))
-        times.append(time.perf_counter() - t0)
-    dt = min(times) / inner
+    dt = _loop_time(one_pass, x, inner=inner, reps=reps)
     return float(np.prod(shape)) / dt
 
 
+def cpu_baseline_voxels_per_sec():
+    """Pinned host-NumPy re-derivation throughput (BASELINE_CPU.json);
+    falls back to a live measurement only if the artifact is missing."""
+    try:
+        with open(_BASELINE_FILE) as f:
+            return float(json.load(f)["voxels_per_sec"]), "pinned"
+    except Exception:
+        return bench_cpu_reference(), "measured_live"
+
+
 def bench_cpu_reference(shape=(128, 128, 128)):
-    """Host-CPU NumPy re-derivation of the same math (tests/numpy_ref.py):
-    proxy for the reference's single-node throughput."""
-    sys.path.insert(0, ".")
+    """Live host-CPU NumPy re-derivation (tests/numpy_ref.py). Normally
+    unused — the pinned BASELINE_CPU.json value is preferred."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from tests import numpy_ref as ref
 
     rng = np.random.default_rng(0)
@@ -89,9 +120,11 @@ def bench_cpu_reference(shape=(128, 128, 128)):
 
 def verify_on_chip(shape=(128, 128, 128), sigma=1.0, spacing=(0.78, 0.78, 1.0)):
     """On-chip regression: fused Pallas paths vs the XLA-composed ops on the
-    real device (VERDICT r1 weak-4: interpreter-mode tests can't catch
-    Mosaic lowering regressions).
+    real device (interpreter-mode tests can't catch Mosaic lowering
+    regressions — round 2's fused_features8_full proved the failure mode).
 
+    Covers the two kernels the product dispatches: fused_features8_xs
+    (the flagship pass) and fused_hessian_eig (the bench hot path).
     Channels 0,1 (smoothed, |grad|) and 5,6,7 (the symmetric eigenvalue
     functions) must agree tightly; eigen channels 2-4 are compared as
     VALUE-SORTED triples because the |e|-ordering legitimately swaps at
@@ -100,7 +133,7 @@ def verify_on_chip(shape=(128, 128, 128), sigma=1.0, spacing=(0.78, 0.78, 1.0)):
     """
     import jax
     import jax.numpy as jnp
-    from ife_tpu.kernels.fused import fused_features8, fused_hessian_eig
+    from ife_tpu.kernels.fused import fused_features8_xs, fused_hessian_eig
     from ife_tpu.ops.features import features8, hessian_eig_features
 
     key = jax.random.PRNGKey(0)
@@ -110,8 +143,8 @@ def verify_on_chip(shape=(128, 128, 128), sigma=1.0, spacing=(0.78, 0.78, 1.0)):
 
     @jax.jit
     def errs(v, m):
-        a = jnp.moveaxis(fused_features8(v, m, sigma, spacing, stack=True),
-                         0, -1)
+        a = jnp.moveaxis(fused_features8_xs(v, m, sigma, spacing,
+                                            stack=True), 0, -1)
         b = features8(v, m, sigma, spacing)
         scale = jnp.maximum(jnp.abs(b).reshape(-1, 8).max(axis=0), 1.0)
         direct = jnp.abs(a - b).reshape(-1, 8).max(axis=0) / scale
@@ -151,66 +184,56 @@ def bench_all(out_path="BENCH_DETAIL.json"):
     detail = {"device": kind, "platform": platform}
 
     from ife_tpu.ops.eigen import eigenvalue_features
-    from ife_tpu.ops.features import features8, multiscale_features
-    from ife_tpu.kernels.fused import fused_features8, fused_hessian_eig
+    from ife_tpu.ops.features import features8
+    from ife_tpu.kernels.fused import fused_features8_xs, fused_hessian_eig
     from ife_tpu.ops.features import hessian_eig_features
-
-    def loop_time(fn, x, inner=8, reps=3):
-        @jax.jit
-        def loop(v):
-            def body(_, c):
-                out = fn(c)
-                return out[..., 0] if out.ndim == 4 else out
-            return jax.lax.fori_loop(0, inner, body, v)[0, 0].sum()
-
-        float(loop(x))
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(loop(x))
-            ts.append(time.perf_counter() - t0)
-        return min(ts) / inner
 
     key = jax.random.PRNGKey(0)
 
-    # config 1: eigen solver on a synthetic 64^3 Hessian field
+    # config 1: eigen solver on a synthetic 64^3 Hessian field. The eigen
+    # output is (..., 6); feed channel 0 back as all six inputs for the
+    # serial dependence.
     H = jax.random.normal(key, (64, 64, 64, 6), jnp.float32)
-    f = jax.jit(eigenvalue_features)
-    np.asarray(f(H))
-    t0 = time.perf_counter()
-    np.asarray(f(H))
-    detail["config1_eigen_64cubed_voxels_per_sec"] = round(
-        64 ** 3 / (time.perf_counter() - t0), 1)
+
+    def eig_pass(h):
+        e = eigenvalue_features(h)
+        return jnp.broadcast_to(e[..., :1], h.shape)
+
+    dt = _loop_time(lambda h: eig_pass(h), H, inner=20)
+    detail["config1_eigen_64cubed_voxels_per_sec"] = round(64 ** 3 / dt, 1)
 
     # config 2: single-scale Hessian features + eigen, 128^3
     x128 = jax.random.normal(key, (128, 128, 128), jnp.float32)
     fn2 = (lambda v: fused_hessian_eig(v, (0.78, 0.78, 1.0), stack=False)[0]) \
         if on_tpu else (lambda v: hessian_eig_features(v, (0.78, 0.78, 1.0))[..., 0])
-    dt = loop_time(fn2, x128)
+    dt = _loop_time(fn2, x128)
     detail["config2_hessian_eig_128cubed_voxels_per_sec"] = round(128 ** 3 / dt, 1)
 
-    # config 3: multi-scale (4 sigma) features8, 256^3 synthetic CT
+    # config 3: multi-scale (4 sigma) features8, 256^3 synthetic CT.
+    # The mask is a jit PARAMETER of the timing loop (closing over a big
+    # device array embeds it in the compile payload -> HTTP 413).
     shape3 = (256, 256, 256) if on_tpu else (64, 64, 64)
     x256 = jax.random.normal(key, shape3, jnp.float32) * 200.0 - 600.0
     m256 = (jax.random.uniform(jax.random.PRNGKey(1), shape3) > 0.25).astype(
         jnp.float32)
     scales = (0.6, 1.2, 2.4, 4.8)
 
-    def multi(v):
+    def multi(v, m):
         outs = [
-            (jnp.moveaxis(fused_features8(v, m256, s, (0.78, 0.78, 1.0),
-                                          stack=True), 0, -1)
-             if on_tpu else features8(v, m256, s, (0.78, 0.78, 1.0)))[..., 0]
+            (jnp.moveaxis(fused_features8_xs(v, m, s, (0.78, 0.78, 1.0),
+                                             stack=True), 0, -1)
+             if on_tpu else features8(v, m, s, (0.78, 0.78, 1.0)))[..., 0]
             for s in scales
         ]
         return jnp.stack(outs, 0).sum(0)
 
-    dt = loop_time(multi, x256, inner=4)
+    dt = _loop_time(multi, x256, m256, inner=4)
     detail["config3_multiscale4_features8_voxels_per_sec"] = round(
         float(np.prod(shape3)) * len(scales) / dt, 1)
     detail["config3_shape"] = list(shape3)
 
-    # config 4: bag + equalized edges at 512^3 (device histograms)
+    # config 4: features8 + device histograms at 512^3 (the make-bag /
+    # bin-edges on-device stage), loop-amortized like the rest
     shape4 = (512, 512, 512) if on_tpu else (64, 64, 64)
     x512 = jax.random.normal(key, shape4, jnp.float32) * 200.0 - 600.0
     m512 = (jax.random.uniform(jax.random.PRNGKey(2), shape4) > 0.25).astype(
@@ -219,20 +242,18 @@ def bench_all(out_path="BENCH_DETAIL.json"):
 
     edges = jnp.linspace(-1200.0, 600.0, 31)
 
-    @jax.jit
-    def bag_stats(v, m):
-        f8 = (jnp.moveaxis(fused_features8(v, m, 1.0, (0.78, 0.78, 1.0),
-                                           stack=True), 0, -1)
+    def bag_stats(v, m, e):
+        f8 = (jnp.moveaxis(fused_features8_xs(v, m, 1.0, (0.78, 0.78, 1.0),
+                                              stack=True), 0, -1)
               if on_tpu else features8(v, m, 1.0, (0.78, 0.78, 1.0)))
-        return jnp.stack([
-            histogram_counts(f8[..., c].ravel(), edges,
+        counts = jnp.stack([
+            histogram_counts(f8[..., c].ravel(), e,
                              weights=m.ravel()) for c in range(8)
         ])
+        # serial dependence: perturb the image by a data-dependent scalar
+        return v + counts.sum().astype(v.dtype) * jnp.asarray(0.0, v.dtype)
 
-    np.asarray(bag_stats(x512, m512))
-    t0 = time.perf_counter()
-    np.asarray(bag_stats(x512, m512))
-    dt = time.perf_counter() - t0
+    dt = _loop_time(bag_stats, x512, m512, edges, inner=4)
     detail["config4_features_plus_hist_512cubed_voxels_per_sec"] = round(
         float(np.prod(shape4)) / dt, 1)
     detail["config4_shape"] = list(shape4)
@@ -262,17 +283,19 @@ def main():
         except Exception:  # OOM headroom fallback
             shape = (384, 384, 384)
             vox_s = bench_tpu(shape, use_fused=False)
-    cpu_vox_s = bench_cpu_reference()
-    print(
-        json.dumps(
-            {
-                "metric": f"hessian_eig_voxels_per_sec_chip_{shape[0]}cubed_{kind.replace(' ', '_')}",
-                "value": round(vox_s, 1),
-                "unit": "voxels/sec/chip",
-                "vs_baseline": round(vox_s / cpu_vox_s, 2),
-            }
-        )
-    )
+    cpu_vox_s, baseline_kind = cpu_baseline_voxels_per_sec()
+    result = {
+        "metric": f"hessian_eig_voxels_per_sec_chip_{shape[0]}cubed_{kind.replace(' ', '_')}",
+        "value": round(vox_s, 1),
+        "unit": "voxels/sec/chip",
+        "vs_baseline": round(vox_s / cpu_vox_s, 2),
+        "baseline": baseline_kind,
+    }
+    # on-chip parity gate: a Mosaic lowering regression fails the bench
+    # instead of silently shipping (docs/design.md, full-fusion post-mortem)
+    if platform == "tpu":
+        result["verify"] = verify_on_chip()
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
