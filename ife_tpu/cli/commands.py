@@ -83,10 +83,14 @@ def _init_distributed(args):
     mesh = make_mesh(n, ("x", "y") if n > 1 else ("x",))
     _progress(f"process {pid}/{nprocs}: sharding over {n} devices: "
               f"{dict(zip(mesh.axis_names, mesh.devices.shape))}")
-    manifest = (
-        ShardManifest(args.manifest)
-        if getattr(args, "manifest", None) else None
-    )
+    manifest_path = getattr(args, "manifest", None)
+    if manifest_path and nprocs > 1:
+        # per-process manifest (and caches derived from it): restartable
+        # WITHOUT assuming a shared filesystem across hosts — every
+        # process keeps its own completion ledger; on a shared FS the
+        # per-process files simply coexist
+        manifest_path = f"{manifest_path}.p{pid}"
+    manifest = ShardManifest(manifest_path) if manifest_path else None
     return mesh, manifest, is_primary()
 
 
@@ -159,8 +163,12 @@ def run_extract_features(args):
             for c, name in enumerate(FEATURE_NAMES):
                 out = vol.with_data(feats[..., c])
                 _save(f"{args.out}_scale_{s:g}{name}.nii.gz", out)
-            if manifest is not None:
-                manifest.mark_done(key, last_out)
+        if manifest is not None:
+            # every process records completion in its OWN manifest so a
+            # restart keeps the collective schedule in lockstep across
+            # hosts; non-primary passes no path (the output .nii.gz lives
+            # on the primary's filesystem)
+            manifest.mark_done(key, last_out if primary else None)
 
 
 def conf_masked_normalized_convolution(p):
@@ -295,8 +303,21 @@ def run_make_bag(args):
     if args.sharded:
         mesh, _, primary = _init_distributed(args)
         if getattr(args, "roi_file", None) is None and args.seed is None:
-            # every process must draw identical ROIs
-            args.seed = 0
+            # every process must draw IDENTICAL ROIs, but the default must
+            # stay a fresh random sampling exactly like the unsharded run:
+            # the primary draws entropy and broadcasts it. The seed is
+            # printed so the run is reproducible after the fact.
+            import secrets
+            import jax
+            seed = secrets.randbits(31)
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+                seed = int(multihost_utils.broadcast_one_to_all(
+                    np.asarray([seed], dtype=np.int64))[0])
+            args.seed = seed
+            _progress(f"--sharded ROI seed {seed} "
+                      "(drawn on primary, broadcast to all processes; "
+                      "pass --seed to reproduce)")
         rois = _get_rois(args, mask_np)
         bag = make_bag_sharded(np.asarray(vol.data), mask_np, args.scales,
                                edges, rois, mesh, spacing=vol.spacing)
@@ -412,7 +433,10 @@ def _run_determine_bin_edges_sharded(args):
     per_hist = [[] for _ in range(n_hists)]
     for idx, (img_path, mask_path) in enumerate(pairs):
         key = f"image_{idx}"
-        cache = f"{args.manifest}.{idx}.npz" if args.manifest else None
+        # cache path derives from the manifest's ACTUAL (per-process)
+        # path, so multi-host restarts never read another host's files
+        cache = (f"{manifest.path}.{idx}.npz"
+                 if manifest is not None else None)
         if manifest is not None and manifest.is_done(key) and cache:
             _progress(f"Loading cached histograms for {img_path} (manifest)")
             z = np.load(cache)
@@ -429,7 +453,9 @@ def _run_determine_bin_edges_sharded(args):
         )
         for h, bc in enumerate(hists):
             per_hist[h].append(bc)
-        if manifest is not None and primary:
+        if manifest is not None:
+            # every process writes its own cache + ledger (per-process
+            # manifest path) — no shared-filesystem assumption
             np.savez(
                 cache,
                 **{f"bounds_{h}": b for h, (b, _) in enumerate(hists)},

@@ -47,8 +47,17 @@ def distributed_init(
     coordinator = coordinator or os.environ.get("IFE_COORDINATOR")
     if coordinator is None:
         return 0, 1
-    if (platform or os.environ.get("JAX_PLATFORMS", "")).startswith("cpu"):
-        # CPU cross-process collectives ride gloo (TPU: XLA owns ICI/DCN)
+    # CPU cross-process collectives ride gloo (TPU: XLA owns ICI/DCN).
+    # Decide from the RESOLVED platform list, not just env vars: on a plain
+    # CPU-only host with neither IFE_PLATFORM nor JAX_PLATFORMS set, JAX
+    # still resolves to the cpu backend, and initializing distributed
+    # without gloo would make cross-process collectives fail or hang.
+    resolved = (
+        platform
+        or os.environ.get("JAX_PLATFORMS", "")
+        or (jax.config.jax_platforms or "")
+    )
+    if resolved.startswith("cpu") or resolved in ("", "cpu"):
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
     num_processes = int(
         num_processes or os.environ.get("IFE_NUM_PROCESSES", "1")
