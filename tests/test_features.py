@@ -39,8 +39,22 @@ def test_features8_matches_numpy_f64():
 
 
 def test_features8_f32_within_north_star():
-    """f32 (TPU production dtype) vs f64 oracle within 1e-5 relative to
-    channel scale — the BASELINE.json correctness target."""
+    """f32 (TPU production dtype) vs f64 oracle, per-channel budget.
+
+    The 1e-5 north star (BASELINE.md) holds for channels 0-3 and 7. It is
+    UNREACHABLE for Eigenvalue3 / LoG / GaussianCurvature — and the gap
+    is input conditioning, not implementation: running the eigen solve in
+    f64 on the f32 Hessian reproduces the error bit-for-near-bit (e3
+    1.70e-5 vs 1.69e-5, measured round 3), i.e. 100% of the excess is the
+    f32 smoothing roundoff (~2.4 ulps of the value scale, already
+    optimal) amplified by the second-difference conditioning 4/h^2 —
+    abs ~1.1e-3 on the Hessian channels, large relative to the SMALLEST
+    eigenvalue's channel scale. The reference's own float32 pixel type
+    shares this bound exactly. Full budget table: docs/design.md.
+
+    Bounds below are the measured values with ~40% headroom so any
+    implementation regression still fails fast.
+    """
     img, mask = _data()
     sigma = 1.0
     got = np.asarray(
@@ -49,10 +63,20 @@ def test_features8_f32_within_north_star():
         )
     ).astype(np.float64)
     want = ref.features8_np(img, mask, sigma, SPACING)
+    budget = {
+        "GaussianBlur": 1e-6,        # measured 2.8e-7
+        "GradientMagnitude": 2e-6,   # measured 7.6e-7
+        "Eigenvalue1": 1e-5,         # measured 7.6e-6
+        "Eigenvalue2": 1e-5,         # measured 8.3e-6
+        "Eigenvalue3": 2.4e-5,       # measured 1.70e-5 (conditioning-bound)
+        "LaplacianOfGaussian": 1.5e-5,   # measured 1.09e-5 (ditto)
+        "GaussianCurvature": 1.5e-5,     # measured 1.10e-5 (ditto)
+        "FrobeniusNorm": 1.3e-5,     # measured 9.2e-6
+    }
     for c in range(8):
         scale = max(np.abs(want[..., c]).max(), 1.0)
         err = np.abs(got[..., c] - want[..., c]).max() / scale
-        assert err < 2e-5, (FEATURE_NAMES[c], err)
+        assert err < budget[FEATURE_NAMES[c]], (FEATURE_NAMES[c], err)
 
 
 def test_multiscale_stacking():
