@@ -706,11 +706,16 @@ def conf_extract_window(p):
     p.add_argument("--width", type=float, default=1500.0)
     p.add_argument("--out-spacing", type=float, default=0.25)
     p.add_argument("--mask", default=None)
+    p.add_argument("-b", "--spline-order", type=int, default=3,
+                   choices=range(6), metavar="[0-5]",
+                   help="B-spline interpolation order "
+                   "(reference ExtractWindow.cxx:43, default 3)")
 
 
 def run_extract_window(args):
     """Reference tools/ExtractWindow.cxx: resample 2D to isotropic spacing
-    then window to uint8."""
+    (B-spline interpolation, ceil sizing, NN extrapolation; the mask rides
+    nearest-neighbor, :230-232) then window to uint8."""
     import jax.numpy as jnp
     from ife_tpu.core.volume import Volume
     from ife_tpu.ops.transform import intensity_window, resample_to_spacing_2d
@@ -722,15 +727,19 @@ def run_extract_window(args):
     if data.ndim != 2:
         raise ValueError("extract-window expects a 2D image")
     res = resample_to_spacing_2d(jnp.asarray(data), vol.spacing[:2],
-                                 args.out_spacing)
+                                 args.out_spacing,
+                                 order=args.spline_order)
     win = intensity_window(res, args.level, args.width)
     if args.mask:
         mask = _load(args.mask)
         m = np.asarray(mask.data)
         if m.ndim == 3:
             m = m[..., 0]
+        # mask rides nearest-neighbor so it stays binary (reference
+        # ExtractWindow.cxx:230-232)
         mres = resample_to_spacing_2d(jnp.asarray(m.astype(np.float32)),
-                                      mask.spacing[:2], args.out_spacing)
+                                      mask.spacing[:2], args.out_spacing,
+                                      order=0)
         win = jnp.where(mres > 0.5, win, 0)
     out = Volume(np.asarray(win)[..., None],
                  spacing=(args.out_spacing, args.out_spacing, 1.0))
@@ -807,6 +816,11 @@ def run_convert_from_octave(args):
 
 
 def conf_convert_dicom(p):
+    p.description = (
+        "Supported transfer syntaxes: Implicit VR LE (1.2.840.10008.1.2), "
+        "Explicit VR LE (1.2.840.10008.1.2.1), RLE Lossless "
+        "(1.2.840.10008.1.2.5). JPEG-family files must be transcoded first."
+    )
     p.add_argument("-d", "--dicom-dir", required=True)
     p.add_argument("-o", "--out-dir", required=True)
 

@@ -5,10 +5,12 @@ build one volume per SeriesInstanceUID sorted by slice position, name the
 output from PatientID/StudyDate/ConvolutionKernel/SliceSpacing tags.
 
 Scope: uncompressed little-endian transfer syntaxes (Implicit VR
-1.2.840.10008.1.2 and Explicit VR 1.2.840.10008.1.2.1) with monochrome
-int16/uint16 pixels — i.e. standard CT exports. Compressed syntaxes raise
-a clear error. This is a deliberate from-scratch parser (the environment
-has no pydicom; the reference used ITK's GDCM).
+1.2.840.10008.1.2 and Explicit VR 1.2.840.10008.1.2.1) plus RLE Lossless
+(1.2.840.10008.1.2.5, PackBits segments) with monochrome int8/16 pixels —
+i.e. standard CT exports and the common lossless archive format. Other
+compressed syntaxes (JPEG family) raise a clear error listing what is
+supported. This is a deliberate from-scratch parser (the environment has
+no pydicom; the reference used ITK's GDCM).
 """
 from __future__ import annotations
 
@@ -25,6 +27,8 @@ _UNCOMPRESSED = {
     "1.2.840.10008.1.2",     # implicit VR LE
     "1.2.840.10008.1.2.1",   # explicit VR LE
 }
+_RLE = "1.2.840.10008.1.2.5"  # RLE Lossless (PackBits segments)
+SUPPORTED_SYNTAXES = sorted(_UNCOMPRESSED | {_RLE})
 # VRs with a 2-byte reserved field and 4-byte length in explicit VR
 _LONG_VRS = {b"OB", b"OW", b"OF", b"SQ", b"UT", b"UN"}
 
@@ -68,9 +72,24 @@ def _parse_elements(buf: bytes, explicit: bool, start: int) -> Dict[str, bytes]:
             length = struct.unpack_from("<I", buf, pos)[0]
             pos += 4
         if length == 0xFFFFFFFF:
+            if (group, elem) == TAGS["PixelData"]:
+                # encapsulated pixel data: Basic Offset Table item + one
+                # item per frame, terminated by a sequence delimiter
+                frags = []
+                while pos + 8 <= n:
+                    g2, e2 = struct.unpack_from("<HH", buf, pos)
+                    ln = struct.unpack_from("<I", buf, pos + 4)[0]
+                    pos += 8
+                    if (g2, e2) == (0xFFFE, 0xE0DD):
+                        break
+                    if (g2, e2) != (0xFFFE, 0xE000):
+                        raise ValueError("malformed encapsulated pixel data")
+                    frags.append(buf[pos : pos + ln])
+                    pos += ln
+                out["PixelDataFragments"] = frags  # type: ignore[assignment]
+                break
             raise ValueError(
-                "undefined-length element (compressed/sequence pixel data) "
-                "is not supported — transcode to uncompressed little endian"
+                "undefined-length element (sequence data) is not supported"
             )
         key = _WANTED.get((group, elem))
         if key is not None:
@@ -90,8 +109,12 @@ def read_dicom_file(path: str) -> Optional[Dict[str, bytes]]:
     # file meta group (0002) is always explicit VR LE
     meta = _parse_elements(buf, explicit=True, start=_MAGIC_OFFSET + 4)
     ts = meta.get("TransferSyntaxUID", b"").decode("ascii", "ignore").strip("\x00 ")
-    if ts and ts not in _UNCOMPRESSED:
-        raise ValueError(f"{path}: unsupported transfer syntax {ts}")
+    if ts and ts not in _UNCOMPRESSED and ts != _RLE:
+        raise ValueError(
+            f"{path}: unsupported transfer syntax {ts}; supported: "
+            + ", ".join(SUPPORTED_SYNTAXES)
+            + " — transcode JPEG-family files to one of these"
+        )
     explicit = ts != "1.2.840.10008.1.2"
     # skip past the meta group: re-scan from after DICM, stopping when group
     # changes from 0002 — cheap approach: parse whole file with the dataset
@@ -112,7 +135,46 @@ def read_dicom_file(path: str) -> Optional[Dict[str, bytes]]:
             pos += 8 + length
     data = _parse_elements(buf, explicit=explicit, start=pos)
     data.update({k: v for k, v in meta.items() if k not in data})
+    data["_ts"] = ts.encode()
     return data
+
+
+def _packbits_decode(src: bytes, out_len: int) -> bytes:
+    """PackBits (DICOM RLE segment) decode: n<128 -> copy n+1 literal
+    bytes; n>128 -> repeat next byte 257-n times; n==128 -> no-op."""
+    out = bytearray()
+    i, L = 0, len(src)
+    while i < L and len(out) < out_len:
+        n = src[i]
+        i += 1
+        if n < 128:
+            out += src[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += bytes([src[i]]) * (257 - n)
+            i += 1
+    if len(out) < out_len:
+        raise ValueError("truncated RLE segment")
+    return bytes(out[:out_len])
+
+
+def _rle_decode_frame(frame: bytes, npix: int, bits: int,
+                      signed: bool) -> np.ndarray:
+    """One RLE Lossless frame: 64-byte header (uint32 segment count + 15
+    uint32 segment offsets), then PackBits segments — byte planes of the
+    composite pixel code, most significant first (DICOM PS3.5 G)."""
+    n_seg = struct.unpack_from("<I", frame, 0)[0]
+    offsets = struct.unpack_from("<15I", frame, 4)
+    segs = []
+    for s in range(n_seg):
+        start = offsets[s]
+        end = offsets[s + 1] if s + 1 < n_seg and offsets[s + 1] else len(frame)
+        segs.append(np.frombuffer(
+            _packbits_decode(frame[start:end], npix), np.uint8))
+    if bits == 8:
+        return segs[0].view(np.int8) if signed else segs[0]
+    val = (segs[0].astype(np.uint16) << 8) | segs[1]
+    return val.view(np.int16) if signed else val
 
 
 def _s(d: Dict[str, bytes], key: str, default: str = "") -> str:
@@ -138,7 +200,8 @@ def read_dicom_series(paths: List[str]) -> Tuple[Volume, Dict[str, str]]:
     slices = []
     for p in paths:
         d = read_dicom_file(p)
-        if d is None or "PixelData" not in d:
+        if d is None or ("PixelData" not in d
+                         and "PixelDataFragments" not in d):
             continue
         ipp = _s(d, "ImagePositionPatient")
         z = float(ipp.split("\\")[2]) if ipp else float(len(slices))
@@ -154,7 +217,14 @@ def read_dicom_series(paths: List[str]) -> Tuple[Volume, Dict[str, str]]:
              16: np.int16 if signed else np.uint16}[bits]
     planes = []
     for z, d in slices:
-        arr = np.frombuffer(d["PixelData"], dtype=dtype)[: rows * cols]
+        if "PixelDataFragments" in d:
+            frags = d["PixelDataFragments"]
+            # single-frame files: fragment 0 is the (possibly empty) Basic
+            # Offset Table, the last fragment is the frame
+            frame = frags[-1]
+            arr = _rle_decode_frame(frame, rows * cols, bits, signed)
+        else:
+            arr = np.frombuffer(d["PixelData"], dtype=dtype)[: rows * cols]
         slope = _f(d, "RescaleSlope", 1.0)
         inter = _f(d, "RescaleIntercept", 0.0)
         planes.append(arr.reshape(rows, cols).astype(np.float32) * slope + inter)
@@ -191,7 +261,8 @@ def convert_dicom_dir(dicom_dir: str, out_dir: str) -> List[str]:
                 d = read_dicom_file(path)
             except (ValueError, struct.error):
                 continue
-            if d is None or "PixelData" not in d:
+            if d is None or ("PixelData" not in d
+                             and "PixelDataFragments" not in d):
                 continue
             series.setdefault(_s(d, "SeriesInstanceUID", "unknown"), []).append(path)
     if not series:

@@ -202,8 +202,9 @@ def _features8_kernel(s_hbm, m_ref, o0, o1, o2, o3, o4, o5, o6, o7,
 
 
 def _features8_xs_kernel(n_hbm, c_hbm, m_ref, o0, o1, o2, o3, o4, o5, o6,
-                         o7, n_s, c_s, sem_n, sem_c, *, bx, by, wy, nxw,
-                         x_true, taps_x, hx, hy, hz, n_buf, zshift):
+                         o7, n_s, c_s, sx_n, sx_c, sem_n, sem_c, *, bx, by,
+                         wy, nxw, x_true, taps_x, hx, hy, hz, n_buf,
+                         zshift):
     """features8 with the x-axis smoothing + normalized-convolution divide
     folded into the post-smoothing pass: inputs are the y/z-smoothed
     numerator (image*mask) and denominator (mask) volumes; this kernel
@@ -227,13 +228,20 @@ def _features8_xs_kernel(n_hbm, c_hbm, m_ref, o0, o1, o2, o3, o4, o5, o6,
     dt = nwin.dtype
     nx1 = bx + 2
 
-    def xpass(a):
-        acc = jnp.asarray(taps_x[0], dt) * a[0:nx1]
+    # x-pass ACCUMULATES INTO VMEM SCRATCH, one tap at a time: an
+    # unrolled K-tap FMA chain held in SSA form fuses into the eigen
+    # chain downstream and explodes register pressure (measured: 59MB of
+    # register-allocator spill slots at 512^3 — slower than the staged
+    # path). The scratch read-modify-write bounds the live set to one
+    # window slice per step; VMEM bandwidth absorbs the extra traffic.
+    def xpass(a, acc):
+        acc[:] = jnp.asarray(taps_x[0], dt) * a[0:nx1]
         for t in range(1, len(taps_x)):
-            acc = acc + jnp.asarray(taps_x[t], dt) * a[t:t + nx1]
-        return acc
+            acc[:] = acc[:] + jnp.asarray(taps_x[t], dt) * a[t:t + nx1]
 
-    s = (xpass(nwin) / xpass(cwin))[:, : by + 2, :]  # (nx1, by+2, Z)
+    xpass(nwin, sx_n)
+    xpass(cwin, sx_c)
+    s = (sx_n[:] / sx_c[:])[:, : by + 2, :]  # (nx1, by+2, Z)
 
     # true-edge clamp of the smoothed x-halo rows (see docstring). Window
     # row r is global row i*bx - 1 + r; rows outside [0, x_true-1] copy
@@ -621,6 +629,8 @@ def fused_features8_xs(
         scratch_shapes=[
             pltpu.VMEM((n_buf, nxw, wy, Z), image.dtype),
             pltpu.VMEM((n_buf, nxw, wy, Z), image.dtype),
+            pltpu.VMEM((bx + 2, wy, Z), image.dtype),
+            pltpu.VMEM((bx + 2, wy, Z), image.dtype),
             pltpu.SemaphoreType.DMA((n_buf,)),
             pltpu.SemaphoreType.DMA((n_buf,)),
         ],

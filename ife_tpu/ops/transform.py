@@ -7,6 +7,7 @@ via the Volume container.
 """
 from __future__ import annotations
 
+import math
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -86,25 +87,41 @@ def resample_to_spacing_2d(
     img: jnp.ndarray,
     spacing: Sequence[float],
     out_spacing: float = 0.25,
+    order: int = 3,
 ) -> jnp.ndarray:
-    """Resample a 2D image to isotropic `out_spacing` with bilinear
-    interpolation, nearest extrapolation at edges.
+    """Resample a 2D image to isotropic `out_spacing`, nearest
+    extrapolation at edges.
 
     Semantics target: reference tools/ExtractWindow.cxx:112-161 (0.25 mm
-    isotropic). Documented divergence: the reference uses B-spline
-    interpolation; we use bilinear (jax map_coordinates supports order<=1)
-    — visually equivalent for CT windowing, and fully fused by XLA.
+    isotropic, itk::BSplineInterpolateImageFunction order 3 +
+    NearestNeighborExtrapolate; output size via ceil, :119-122; the mask
+    path uses nearest-neighbor, :230-232 -> order=0). order=3 (default)
+    matches the reference: cubic B-spline prefilter + evaluation via
+    scipy on the host — this is a CLI utility path, not device-hot.
+    order<=1 keeps the fully-fused XLA path.
     """
     in_shape = img.shape
     out_shape = tuple(
-        int(round(in_shape[d] * spacing[d] / out_spacing)) for d in range(2)
+        int(math.ceil(in_shape[d] * spacing[d] / out_spacing))
+        for d in range(2)
     )
     coords = [
         (jnp.arange(out_shape[d]) * out_spacing) / spacing[d] for d in range(2)
     ]
+    if order > 1:
+        from scipy import ndimage as _ndi
+
+        grid = np.meshgrid(*(np.asarray(c) for c in coords), indexing="ij")
+        out = _ndi.map_coordinates(
+            np.asarray(img, dtype=np.float32), grid, order=order,
+            mode="nearest",
+        )
+        return jnp.asarray(out)
     grid = jnp.meshgrid(*coords, indexing="ij")
+    if order == 0:
+        grid = [jnp.round(g) for g in grid]
     return jax.scipy.ndimage.map_coordinates(
-        img.astype(jnp.float32), grid, order=1, mode="nearest"
+        img.astype(jnp.float32), grid, order=min(order, 1), mode="nearest"
     )
 
 
