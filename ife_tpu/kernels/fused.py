@@ -202,9 +202,9 @@ def _features8_kernel(s_hbm, m_ref, o0, o1, o2, o3, o4, o5, o6, o7,
 
 
 def _features8_xs_kernel(n_hbm, c_hbm, m_ref, o0, o1, o2, o3, o4, o5, o6,
-                         o7, n_s, c_s, sx_n, sx_c, sem_n, sem_c, *, bx, by,
-                         wy, nxw, x_true, taps_x, hx, hy, hz, n_buf,
-                         zshift):
+                         o7, n_s, c_s, s_src, s_dst, sem_n, sem_c, sem_s,
+                         *, bx, by, wy, nxw, x_true, taps_x, hx, hy, hz,
+                         n_buf, zshift):
     """features8 with the x-axis smoothing + normalized-convolution divide
     folded into the post-smoothing pass: inputs are the y/z-smoothed
     numerator (image*mask) and denominator (mask) volumes; this kernel
@@ -228,29 +228,37 @@ def _features8_xs_kernel(n_hbm, c_hbm, m_ref, o0, o1, o2, o3, o4, o5, o6,
     dt = nwin.dtype
     nx1 = bx + 2
 
-    # x-pass ACCUMULATES INTO VMEM SCRATCH, one tap at a time: an
-    # unrolled K-tap FMA chain held in SSA form fuses into the eigen
-    # chain downstream and explodes register pressure (measured: 59MB of
-    # register-allocator spill slots at 512^3 — slower than the staged
-    # path). The scratch read-modify-write bounds the live set to one
-    # window slice per step; VMEM bandwidth absorbs the extra traffic.
-    def xpass(a, acc):
-        acc[:] = jnp.asarray(taps_x[0], dt) * a[0:nx1]
+    def xpass(a):
+        acc = jnp.asarray(taps_x[0], dt) * a[0:nx1]
         for t in range(1, len(taps_x)):
-            acc[:] = acc[:] + jnp.asarray(taps_x[t], dt) * a[t:t + nx1]
+            acc = acc + jnp.asarray(taps_x[t], dt) * a[t:t + nx1]
+        return acc
 
-    xpass(nwin, sx_n)
-    xpass(cwin, sx_c)
-    s = (sx_n[:] / sx_c[:])[:, : by + 2, :]  # (nx1, by+2, Z)
+    sval = xpass(nwin) / xpass(cwin)  # (nx1, wy, Z)
 
     # true-edge clamp of the smoothed x-halo rows (see docstring). Window
     # row r is global row i*bx - 1 + r; rows outside [0, x_true-1] copy
     # their inward neighbor. Two leading-axis shifts + selects — cheap.
     i = pl.program_id(0)
-    grow = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + (i * bx - 1)
-    s_up = jnp.concatenate([s[1:], s[-1:]], axis=0)    # s_up[r] = s[r+1]
-    s_dn = jnp.concatenate([s[:1], s[:-1]], axis=0)    # s_dn[r] = s[r-1]
-    s = jnp.where(grow < 0, s_up, jnp.where(grow > x_true - 1, s_dn, s))
+    grow = jax.lax.broadcasted_iota(jnp.int32, sval.shape, 0) + (i * bx - 1)
+    s_up = jnp.concatenate([sval[1:], sval[-1:]], axis=0)
+    s_dn = jnp.concatenate([sval[:1], sval[:-1]], axis=0)
+    sval = jnp.where(grow < 0, s_up,
+                     jnp.where(grow > x_true - 1, s_dn, sval))
+
+    # MATERIALIZE s through a VMEM->VMEM async copy. This is a deliberate
+    # scheduling barrier: fusing the K-tap x-pass into the eigen chain in
+    # SSA form measured 59MB of register-allocator spill slots at 512^3
+    # (slower than the staged path, and OOM at 16-row blocks); a plain
+    # scratch store gets store-forwarded back into the same fused
+    # expression. The compiler cannot forward values across a DMA, so the
+    # x-pass/divide intermediates are dead before the stencil/eigen chain
+    # schedules. Cost: one 3MB on-chip copy per grid step — noise.
+    s_src[:] = sval
+    cp = pltpu.make_async_copy(s_src, s_dst, sem_s)
+    cp.start()
+    cp.wait()
+    s = s_dst[:, : by + 2, :]
 
     core, dxx, dyy, dzz, dxy, dxz, dyz, dx_c, dy, dz_c = _stencil_block(
         s, hx, hy, hz, zshift=zshift
@@ -604,9 +612,13 @@ def fused_features8_xs(
     if (Xp, Yp) != (X, Y):
         m = jnp.pad(m, ((0, Xp - X), (0, Yp - Y), (0, 0)), mode="edge")
 
-    # VMEM: 8 double-buffered outputs + mask blocks + 2 windows x n_buf
+    # VMEM: 8 double-buffered outputs + mask blocks + 2 windows x n_buf +
+    # the two s-materialization scratches; the DMA barrier (see kernel)
+    # bounds compiler temporaries to ~4 window-sized values
     item = image.dtype.itemsize
-    est = item * Z * (2 * 9 * bx * by + 2 * 2 * nxw * wy + 8 * nxw * wy)
+    est = item * Z * (
+        2 * 9 * bx * by + (2 * 2 + 4) * nxw * wy + 2 * (bx + 2) * wy
+    )
     n_buf = 2 if est <= int(0.8 * _VMEM_LIMIT) else 1
 
     kernel = functools.partial(
@@ -633,6 +645,7 @@ def fused_features8_xs(
             pltpu.VMEM((bx + 2, wy, Z), image.dtype),
             pltpu.SemaphoreType.DMA((n_buf,)),
             pltpu.SemaphoreType.DMA((n_buf,)),
+            pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT

@@ -190,3 +190,63 @@ def test_make_bag_sharded_matches_host_bag():
     got = make_bag_sharded(img_np, mask_np, sigmas, hist_edges, rois, mesh,
                            SPACING)
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_sharded_runs_are_bitwise_deterministic():
+    # SURVEY.md §5 race-detection analog: JAX forbids data races by
+    # construction, so the determinism contract we CAN and DO enforce is
+    # bitwise run-to-run reproducibility of the sharded program — the
+    # collective schedule and the integer psum reductions must not
+    # introduce any ordering nondeterminism.
+    img, mask = _data((32, 32, 32), jnp.float32)
+    mesh = make_mesh(8, ("x", "y"))
+    xi = shard_volume(img, mesh)
+    mi = shard_volume(mask, mesh)
+    edges = jnp.asarray(np.linspace(-900.0, -100.0, 7), jnp.float32)
+
+    def run():
+        f = sharded_features8(xi, mi, 1.0, mesh, SPACING)
+        h = sharded_masked_histogram(f[..., 0], mi, edges, mesh)
+        return np.asarray(f), np.asarray(h)
+
+    f1, h1 = run()
+    f2, h2 = run()
+    np.testing.assert_array_equal(f1, f2)
+    np.testing.assert_array_equal(h1, h2)
+    # integer counts: order-independent by construction (int32 psum)
+    assert h1.dtype in (np.int32, np.int64)
+
+
+def test_histogram_reduction_is_order_independent():
+    # permuting the shard contents must give the SAME integer counts —
+    # the deterministic-reduction property that float accumulation lacks
+    img, mask = _data((32, 32, 32), jnp.float32)
+    mesh = make_mesh(8, ("x", "y"))
+    edges = jnp.asarray(np.linspace(-900.0, -100.0, 7), jnp.float32)
+    h_ref = np.asarray(sharded_masked_histogram(
+        shard_volume(img, mesh), shard_volume(mask, mesh), edges, mesh))
+    # flip both volumes along x: same multiset of (value, mask) pairs,
+    # completely different shard-to-device assignment
+    h_flip = np.asarray(sharded_masked_histogram(
+        shard_volume(img[::-1], mesh), shard_volume(mask[::-1], mesh),
+        edges, mesh))
+    np.testing.assert_array_equal(h_ref, h_flip)
+
+
+def test_buffer_donation_aliasing_safe():
+    # SURVEY.md §5: donation/aliasing check. Donating the input buffer to
+    # the jitted feature pass must neither change the numbers nor let the
+    # op read through the donated (now-aliased) buffer incorrectly.
+    img, mask = _data((16, 16, 16), jnp.float32)
+
+    def fn(v, m):
+        return features8(v, m, 1.0, SPACING)
+
+    want = np.asarray(jax.jit(fn)(img, mask))
+    donated_in = jnp.array(img)  # fresh buffer we are allowed to donate
+    got = np.asarray(jax.jit(fn, donate_argnums=0)(donated_in, mask))
+    np.testing.assert_array_equal(got, want)
+    if jax.devices()[0].platform != "cpu":
+        # CPU jit ignores donation; on TPU/GPU the buffer must really be
+        # donated (aliased away), proving the op never re-reads it
+        assert donated_in.is_deleted()
