@@ -102,6 +102,33 @@ def _window_pipeline(x_hbm, scratch, sem, bx, by, wy, n_buf, ex=None):
     return scratch[step % 2]
 
 
+def _two_windows(n_hbm, c_hbm, n_s, c_s, sem_n, sem_c, bx, by, wy, ex,
+                 n_buf):
+    """Fetch BOTH halo windows of the current grid step with their DMAs in
+    flight together. n_buf=2 keeps the cross-step prefetch pipeline of
+    _window_pipeline; n_buf=1 issues both starts before either wait (the
+    naive per-window fetch serializes two multi-MB copies per step)."""
+    if n_buf == 2:
+        return (_window_pipeline(n_hbm, n_s, sem_n, bx, by, wy, 2, ex=ex),
+                _window_pipeline(c_hbm, c_s, sem_c, bx, by, wy, 2, ex=ex))
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    def dma(h, s, sem):
+        return pltpu.make_async_copy(
+            h.at[pl.ds(i * bx, ex), pl.ds(j * by, wy), :], s.at[0],
+            sem.at[0],
+        )
+
+    d1 = dma(n_hbm, n_s, sem_n)
+    d2 = dma(c_hbm, c_s, sem_c)
+    d1.start()
+    d2.start()
+    d1.wait()
+    d2.wait()
+    return n_s[0], c_s[0]
+
+
 def _stencil_block(s, hx, hy, hz, zshift="concat"):
     """All central-difference derivatives of the halo window s
     (bx+2, by+2, Z). Multiply-by-reciprocal (constants folded in f64 at
@@ -223,8 +250,8 @@ def _features8_xs_kernel(n_hbm, c_hbm, m_ref, o0, o1, o2, o3, o4, o5, o6,
     is per-column, so padded columns stay exact replicas), but the x halo
     rows are PRODUCED here, so they are re-clamped in-kernel by global
     row index."""
-    nwin = _window_pipeline(n_hbm, n_s, sem_n, bx, by, wy, n_buf, ex=nxw)
-    cwin = _window_pipeline(c_hbm, c_s, sem_c, bx, by, wy, n_buf, ex=nxw)
+    nwin, cwin = _two_windows(n_hbm, c_hbm, n_s, c_s, sem_n, sem_c, bx, by,
+                              wy, nxw, n_buf)
     dt = nwin.dtype
     nx1 = bx + 2
 
@@ -306,8 +333,9 @@ def _pick_block(n: int, target: int):
 # Mosaic's default scoped-VMEM limit is 16MB, but v5e has 128MB physical
 # VMEM; block16 x 6 outputs with double buffering measured 16.43M — over
 # the default limit by a hair (and dependent on allocator luck), so raise
-# the limit instead of shrinking the pipeline.
-_VMEM_LIMIT = 100 * 1024 * 1024
+# the limit instead of shrinking the pipeline. 112M leaves ~16M headroom
+# under the 128M physical cap for compiler temporaries.
+_VMEM_LIMIT = 112 * 1024 * 1024
 
 
 def _pick_n_buf(bx: int, by: int, wy: int, Z: int, n_out: int,

@@ -110,9 +110,9 @@ def features8_auto(image, mask, sigma, spacing=(1.0, 1.0, 1.0), truncate=4.5):
     smoothing + divide into the kernel (VPU-only in-kernel work).
     """
     if jax.devices()[0].platform == "tpu" and image.ndim == 3:
-        from ife_tpu.kernels.fused import fused_features8
+        from ife_tpu.kernels.fused import fused_features8_xs
 
-        out = fused_features8(
+        out = fused_features8_xs(
             image, mask, float(sigma), tuple(spacing), truncate,
             stack=True,
         )
