@@ -302,6 +302,112 @@ def _features8_xs_kernel(n_hbm, c_hbm, m_ref, o0, o1, o2, o3, o4, o5, o6,
         ref[:] = jnp.where(inside, val, zero)
 
 
+def _features8_tap_kernel(n_hbm, c_hbm, m_ref, o0, o1, o2, o3, o4, o5, o6,
+                          o7, n_s, c_s, s_src, s_dst, sem_n, sem_c, sem_s,
+                          *, bx, by, yk, nxw, wyw, x_true, y_true, taps_x,
+                          taps_y, taps_z, hx, hy, hz, n_buf, zshift):
+    """features8 with ALL THREE smoothing axes + the normalized-convolution
+    divide folded into the post-smoothing pass — zero XLA passes, zero HBM
+    intermediates: inputs are the RAW numerator (image*mask) and
+    denominator (mask) volumes.
+
+    Round 2's fully-fused attempt (in-kernel MXU band matmuls + persistent
+    scratch) was no faster than staged and mis-lowered on chip
+    (docs/design.md); this kernel keeps the in-kernel smoothing strictly
+    VPU-shaped instead: x taps are leading-axis slices (free addressing),
+    y taps are sublane-axis slices, z taps are edge-clamped incremental
+    lane shifts — pure FMA chains, no matmuls, no cross-step state. The
+    separable FIR + no-epsilon divide semantics are those of reference
+    NormalizedGaussianConvolutionImageFilter.hxx:40-63; everything
+    downstream of the divide is the byte-identical code path of the proven
+    _features8_kernel (ImageToEmphysemaFeaturesFilter.hxx:14-55).
+
+    Boundary handling: the host edge-pads x by rx+1 and y by ry+1, so the
+    in-window smoothing sees clamp (ZeroFluxNeumann) data at true volume
+    faces — exactly the FIR path's own boundary. The stencil additionally
+    needs s(-1) := s(0) on the SMOOTHED image; the window's phantom
+    boundary rows/columns hold "smoothing evaluated outside the volume"
+    instead, so they are re-clamped by global row AND column index before
+    the stencil chain (the xs kernel's row trick, applied to both axes).
+    Along z the volume is full-extent in the window: the incremental
+    clamped lane shifts compose to s[min(max(z+k, 0), Z-1)], and any
+    lane-alignment padding replicates the last true plane, which is the
+    same value the clamp would produce.
+    """
+    nwin, cwin = _two_windows(n_hbm, c_hbm, n_s, c_s, sem_n, sem_c, bx, by,
+                              wyw, nxw, n_buf)
+    dt = nwin.dtype
+    nx1 = bx + 2
+
+    def xpass(a):
+        acc = jnp.asarray(taps_x[0], dt) * a[0:nx1]
+        for t in range(1, len(taps_x)):
+            acc = acc + jnp.asarray(taps_x[t], dt) * a[t:t + nx1]
+        return acc
+
+    def ypass(a):
+        acc = jnp.asarray(taps_y[0], dt) * a[:, 0:yk, :]
+        for t in range(1, len(taps_y)):
+            acc = acc + jnp.asarray(taps_y[t], dt) * a[:, t:t + yk, :]
+        return acc
+
+    def zpass(a):
+        rz = (len(taps_z) - 1) // 2
+        acc = jnp.asarray(taps_z[rz], dt) * a
+        up, dn = a, a
+        for k in range(1, rz + 1):
+            up = _clamp_shift_z(up, 1)
+            dn = _clamp_shift_z(dn, -1)
+            acc = acc + jnp.asarray(taps_z[rz + k], dt) * up
+            acc = acc + jnp.asarray(taps_z[rz - k], dt) * dn
+        return acc
+
+    def smooth(a):
+        return zpass(ypass(xpass(a)))
+
+    sval = smooth(nwin) / smooth(cwin)  # (nx1, yk, Z)
+
+    # true-edge clamp of the smoothed phantom halo rows AND columns (see
+    # docstring). Window row r is global row i*bx - 1 + r, column c is
+    # global column j*by - 1 + c; positions outside the volume copy their
+    # inward neighbor. Two leading-axis + two sublane shifts with selects.
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    grow = jax.lax.broadcasted_iota(jnp.int32, sval.shape, 0) + (i * bx - 1)
+    s_up = jnp.concatenate([sval[1:], sval[-1:]], axis=0)
+    s_dn = jnp.concatenate([sval[:1], sval[:-1]], axis=0)
+    sval = jnp.where(grow < 0, s_up,
+                     jnp.where(grow > x_true - 1, s_dn, sval))
+    gcol = jax.lax.broadcasted_iota(jnp.int32, sval.shape, 1) + (j * by - 1)
+    s_l = jnp.concatenate([sval[:, 1:, :], sval[:, -1:, :]], axis=1)
+    s_r = jnp.concatenate([sval[:, :1, :], sval[:, :-1, :]], axis=1)
+    sval = jnp.where(gcol < 0, s_l,
+                     jnp.where(gcol > y_true - 1, s_r, sval))
+
+    # DMA-barrier materialization of s (same rationale as the xs kernel:
+    # the compiler store-forwards a plain scratch store back into one giant
+    # fused expression and spills; it cannot forward across a DMA)
+    s_src[:] = sval
+    cp = pltpu.make_async_copy(s_src, s_dst, sem_s)
+    cp.start()
+    cp.wait()
+    s = s_dst[:, : by + 2, :]
+
+    core, dxx, dyy, dzz, dxy, dxz, dyz, dx_c, dy, dz_c = _stencil_block(
+        s, hx, hy, hz, zshift=zshift
+    )
+    gm = jnp.sqrt(dx_c * dx_c + dy * dy + dz_c * dz_c)
+    feats = eigenvalue_feature_channels(
+        dxx, dxy, dxz, dyy, dyz, dzz, use_trig=False, diag_path=False
+    )
+    inside = m_ref[:] != 0
+    zero = jnp.asarray(0, dt)
+    o0[:] = jnp.where(inside, core, zero)
+    o1[:] = jnp.where(inside, gm, zero)
+    for ref, val in zip((o2, o3, o4, o5, o6, o7), feats):
+        ref[:] = jnp.where(inside, val, zero)
+
+
 @functools.lru_cache(maxsize=256)
 def _smooth_taps(sigma: float, spacing: float, truncate: float):
     """(taps tuple, radius) for one axis; sigma<=0 -> identity."""
@@ -555,6 +661,127 @@ def fused_features8_post(
         ),
         interpret=interpret,
     )(sp, m)
+    if (Xp, Yp, Z) != (X, Y, Zin):
+        outs = [o[:X, :Y, :Zin] for o in outs]
+    if stack:
+        return jnp.stack(outs, axis=0)
+    return tuple(outs)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sigma", "spacing", "truncate", "block",
+                              "interpret", "stack", "variant", "n_buf")
+)
+def fused_features8_tap(
+    image: jax.Array,
+    mask: jax.Array,
+    sigma: float,
+    spacing: Sequence[float] = (1.0, 1.0, 1.0),
+    truncate: float = 4.5,
+    block=(8, 128),
+    interpret: bool = False,
+    stack: bool = True,
+    variant: str = "concat",
+    n_buf: int | None = None,
+):
+    """features8 in ONE Pallas pass: the whole separable FIR smoothing
+    (all three axes), the normalized-convolution divide, and the
+    gradient/Hessian/eigen/mask chain, straight from the raw image + mask.
+
+    HBM traffic = the two halo-amplified input windows + the mask + the 8
+    output channels — no smoothing intermediates at all. vs the staged
+    path this removes the six MXU smoothing passes, the divide pass, and
+    the smoothed volume's round trip (the staged path's XLA einsum passes
+    measure ~170 GB/s effective vs ~350 for the Pallas kernels, so moving
+    that traffic INTO the kernel wins twice). In-kernel smoothing is
+    strictly VPU tap FMAs — see _features8_tap_kernel for why no MXU.
+
+    Intended for the small/medium radii of the product's scale range; the
+    halo window grows with radius, so features8_auto falls back to the
+    staged path when the x window would more than ~3x-amplify the reads.
+
+    Semantics: reference ImageToEmphysemaFeaturesFilter.hxx:14-55 end to
+    end. Returns (8, X, Y, Z) when stack=True, else a tuple of 8 arrays;
+    jnp.moveaxis(out, 0, -1) matches ops.features.features8.
+    """
+    hx, hy, hz = (float(v) for v in spacing)
+    taps_x, rx = _smooth_taps(float(sigma), hx, float(truncate))
+    taps_y, ry = _smooth_taps(float(sigma), hy, float(truncate))
+    taps_z, rz = _smooth_taps(float(sigma), hz, float(truncate))
+    del rz  # z is full-extent in the window; no halo needed
+
+    X, Y, Zin = image.shape
+    m = jnp.clip(mask, 0, 1)
+    mf = m.astype(image.dtype)
+    num = image * mf
+    den = mf
+
+    # lane-tile alignment (see fused_hessian_eig); the padded planes
+    # replicate the last true plane, which is exactly what the in-kernel
+    # clamped z taps would read at the true edge
+    Z = Zin if interpret else -(-Zin // 128) * 128
+    if Z != Zin:
+        num = jnp.pad(num, ((0, 0), (0, 0), (0, Z - Zin)), mode="edge")
+        den = jnp.pad(den, ((0, 0), (0, 0), (0, Z - Zin)), mode="edge")
+        m = jnp.pad(m, ((0, 0), (0, 0), (0, Z - Zin)), mode="edge")
+    tx, ty = (block, block) if isinstance(block, int) else block
+    bx, Xp = _pick_block(X, tx)
+    by, Yp = _pick_block(Y, ty)
+    yk = -(-(by + 2) // 8) * 8          # smoothed-block column extent
+    wyw = -(-(yk + 2 * ry) // 8) * 8    # y window: yk cols + smoothing halo
+    nxw = bx + 2 + 2 * rx               # x window: stencil + smoothing halo
+
+    # x halo rx+1 per side (+ grid slack high), y halo ry+1 (+ alignment
+    # slack): window (i, j) reads padded rows [i*bx, i*bx+nxw), padded
+    # cols [j*by, j*by+wyw)
+    pad_x = (rx + 1, rx + 1 + (Xp - X))
+    pad_y = (ry + 1, (Yp - Y) + wyw - by - ry - 1)
+    num = jnp.pad(num, (pad_x, pad_y, (0, 0)), mode="edge")
+    den = jnp.pad(den, (pad_x, pad_y, (0, 0)), mode="edge")
+    if (Xp, Yp) != (X, Y):
+        m = jnp.pad(m, ((0, Xp - X), (0, Yp - Y), (0, 0)), mode="edge")
+
+    # VMEM: 8 double-buffered outputs + mask blocks + 2 windows x n_buf +
+    # the two s scratches + ~4 window-sized compiler temporaries
+    item = image.dtype.itemsize
+    if n_buf is None:
+        est2 = item * Z * (
+            2 * 9 * bx * by + (2 * 2 + 4) * nxw * wyw + 2 * (bx + 2) * yk
+        )
+        n_buf = 2 if est2 <= int(0.8 * _VMEM_LIMIT) else 1
+
+    kernel = functools.partial(
+        _features8_tap_kernel, bx=bx, by=by, yk=yk, nxw=nxw, wyw=wyw,
+        x_true=X, y_true=Y, taps_x=taps_x, taps_y=taps_y, taps_z=taps_z,
+        hx=hx, hy=hy, hz=hz, n_buf=n_buf, zshift=variant,
+    )
+    blk_spec = pl.BlockSpec(
+        (bx, by, Z), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Xp // bx, Yp // by),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            blk_spec,
+        ],
+        out_specs=[blk_spec] * 8,
+        out_shape=[jax.ShapeDtypeStruct((Xp, Yp, Z), image.dtype)] * 8,
+        scratch_shapes=[
+            pltpu.VMEM((n_buf, nxw, wyw, Z), image.dtype),
+            pltpu.VMEM((n_buf, nxw, wyw, Z), image.dtype),
+            pltpu.VMEM((bx + 2, yk, Z), image.dtype),
+            pltpu.VMEM((bx + 2, yk, Z), image.dtype),
+            pltpu.SemaphoreType.DMA((n_buf,)),
+            pltpu.SemaphoreType.DMA((n_buf,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(num, den, m)
     if (Xp, Yp, Z) != (X, Y, Zin):
         outs = [o[:X, :Y, :Zin] for o in outs]
     if stack:

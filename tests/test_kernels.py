@@ -230,3 +230,98 @@ def test_xs_fused_f32_as_accurate_as_xla():
 
     e_xs, e_xla = errs(got), errs(xla)
     assert np.all(e_xs < np.maximum(2 * e_xla, 1e-6)), (e_xs, e_xla)
+
+
+# ---------------------------------------------------------------------------
+# fused_features8_tap (ALL smoothing axes + divide folded into one kernel)
+# ---------------------------------------------------------------------------
+#
+# The tap kernel is the xs design taken to its conclusion: x taps
+# (leading-axis slices), y taps (sublane slices), z taps (edge-clamped
+# incremental lane shifts) — still strictly VPU FMA chains, no in-kernel
+# matmuls, no persistent scratch (the pieces implicated in the retired
+# fused_features8_full's on-chip mis-lowering). On-chip parity is gated by
+# bench.py --verify like the others.
+
+
+def _tap(x, mask, sigma, **kw):
+    from ife_tpu.kernels.fused import fused_features8_tap
+
+    return np.moveaxis(
+        np.asarray(
+            fused_features8_tap(x, mask, sigma, SPACING, interpret=True, **kw)
+        ), 0, -1,
+    )
+
+
+def test_tap_fused_features8_matches_ops_f64():
+    from ife_tpu.core.volume import sphere_mask
+    from ife_tpu.ops.features import features8
+
+    x = synthetic_ct((16, 16, 16), seed=5, dtype=jnp.float64).data
+    mask = sphere_mask((16, 16, 16), 0.45).data
+    want = np.asarray(features8(x, mask, 1.1, SPACING))
+    got = _tap(x, mask, 1.1)
+    outside = np.asarray(mask) == 0
+    assert np.all(got[outside] == 0)
+    _features8_channel_parity(got, want, 1e-7)
+
+
+def test_tap_fused_radius_larger_than_volume():
+    # sigma 2.5 on 16^3: every window is all-boundary along x AND y; the
+    # edge-replicated pads + the global row/column re-clamps must still
+    # match the XLA-composed op exactly.
+    from ife_tpu.core.volume import sphere_mask
+    from ife_tpu.ops.features import features8
+
+    x = synthetic_ct((16, 16, 16), seed=6, dtype=jnp.float64).data
+    mask = sphere_mask((16, 16, 16), 0.45).data
+    want = np.asarray(features8(x, mask, 2.5, SPACING))
+    _features8_channel_parity(_tap(x, mask, 2.5), want, 1e-7)
+
+
+def test_tap_fused_prime_extents_and_blocks():
+    from ife_tpu.core.volume import sphere_mask
+    from ife_tpu.ops.features import features8
+
+    x = synthetic_ct((13, 11, 16), seed=7, dtype=jnp.float64).data
+    mask = sphere_mask((13, 11, 16), 0.45).data
+    want = np.asarray(features8(x, mask, 0.9, SPACING))
+    _features8_channel_parity(_tap(x, mask, 0.9), want, 1e-7)
+    # non-divisible block targets exercise _pick_block padding
+    _features8_channel_parity(
+        _tap(x, mask, 0.9, block=(4, 4)), want, 1e-7
+    )
+
+
+def test_tap_fused_f32_as_accurate_as_xla():
+    from ife_tpu.core.volume import sphere_mask
+    from ife_tpu.ops.features import features8
+
+    x = synthetic_ct((16, 16, 16), seed=5, dtype=jnp.float32).data
+    mask = sphere_mask((16, 16, 16), 0.45).data
+    truth = np.asarray(
+        features8(x.astype(jnp.float64), mask, 1.1, SPACING)
+    )
+    got = _tap(x, mask, 1.1).astype(np.float64)
+    xla = np.asarray(features8(x, mask, 1.1, SPACING)).astype(np.float64)
+
+    def errs(f):
+        out = []
+        for c in range(8):
+            s = max(np.abs(truth[..., c]).max(), 1.0)
+            if c in (2, 3, 4):
+                a = np.sort(f[..., 2:5], axis=-1)
+                b = np.sort(truth[..., 2:5], axis=-1)
+                out.append(np.abs(a - b).max() / s)
+            else:
+                out.append(np.abs(f[..., c] - truth[..., c]).max() / s)
+        return np.array(out)
+
+    e_tap, e_xla = errs(got), errs(xla)
+    # 2.5x (not the xs test's 2x): the sequential per-axis tap accumulation
+    # has a different f32 summation order than the einsum path's tree
+    # reduction; the eigenvalue-product channel amplifies that roundoff to
+    # ~2.2x on this golden. Still inside the documented per-channel error
+    # budget (docs/design.md).
+    assert np.all(e_tap < np.maximum(2.5 * e_xla, 1e-6)), (e_tap, e_xla)
