@@ -302,10 +302,10 @@ def _features8_xs_kernel(n_hbm, c_hbm, m_ref, o0, o1, o2, o3, o4, o5, o6,
         ref[:] = jnp.where(inside, val, zero)
 
 
-def _features8_tap_kernel(n_hbm, c_hbm, m_ref, o0, o1, o2, o3, o4, o5, o6,
+def _features8_tap_kernel(n_hbm, c_hbm, o0, o1, o2, o3, o4, o5, o6,
                           o7, n_s, c_s, s_src, s_dst, sem_n, sem_c, sem_s,
-                          *, bx, by, yk, nxw, wyw, x_true, y_true, taps_x,
-                          taps_y, taps_z, hx, hy, hz, n_buf, zshift):
+                          *, bx, by, yk, nxw, wyw, rx, ry, x_true, y_true,
+                          taps_x, taps_y, taps_z, hx, hy, hz, n_buf, zshift):
     """features8 with ALL THREE smoothing axes + the normalized-convolution
     divide folded into the post-smoothing pass — zero XLA passes, zero HBM
     intermediates: inputs are the RAW numerator (image*mask) and
@@ -333,6 +333,11 @@ def _features8_tap_kernel(n_hbm, c_hbm, m_ref, o0, o1, o2, o3, o4, o5, o6,
     clamped lane shifts compose to s[min(max(z+k, 0), Z-1)], and any
     lane-alignment padding replicates the last true plane, which is the
     same value the clamp would produce.
+
+    There is NO separate mask input: the denominator window IS the
+    (clamped, float) mask, so the output masking reads the mask block
+    straight out of cwin's core — one full volume of HBM read traffic and
+    one VMEM block stream saved.
     """
     nwin, cwin = _two_windows(n_hbm, c_hbm, n_s, c_s, sem_n, sem_c, bx, by,
                               wyw, nxw, n_buf)
@@ -400,7 +405,9 @@ def _features8_tap_kernel(n_hbm, c_hbm, m_ref, o0, o1, o2, o3, o4, o5, o6,
     feats = eigenvalue_feature_channels(
         dxx, dxy, dxz, dyy, dyz, dzz, use_trig=False, diag_path=False
     )
-    inside = m_ref[:] != 0
+    # the mask block is cwin's core (window row r = global i*bx - 1 + r
+    # - ... shifted by the rx+1 pad, so the core starts at rx+1, ry+1)
+    inside = cwin[rx + 1:rx + 1 + bx, ry + 1:ry + 1 + by, :] != 0
     zero = jnp.asarray(0, dt)
     o0[:] = jnp.where(inside, core, zero)
     o1[:] = jnp.where(inside, gm, zero)
@@ -711,8 +718,7 @@ def fused_features8_tap(
     del rz  # z is full-extent in the window; no halo needed
 
     X, Y, Zin = image.shape
-    m = jnp.clip(mask, 0, 1)
-    mf = m.astype(image.dtype)
+    mf = jnp.clip(mask, 0, 1).astype(image.dtype)
     num = image * mf
     den = mf
 
@@ -723,7 +729,6 @@ def fused_features8_tap(
     if Z != Zin:
         num = jnp.pad(num, ((0, 0), (0, 0), (0, Z - Zin)), mode="edge")
         den = jnp.pad(den, ((0, 0), (0, 0), (0, Z - Zin)), mode="edge")
-        m = jnp.pad(m, ((0, 0), (0, 0), (0, Z - Zin)), mode="edge")
     tx, ty = (block, block) if isinstance(block, int) else block
     bx, Xp = _pick_block(X, tx)
     by, Yp = _pick_block(Y, ty)
@@ -733,27 +738,26 @@ def fused_features8_tap(
 
     # x halo rx+1 per side (+ grid slack high), y halo ry+1 (+ alignment
     # slack): window (i, j) reads padded rows [i*bx, i*bx+nxw), padded
-    # cols [j*by, j*by+wyw)
+    # cols [j*by, j*by+wyw). No separate mask input — the kernel reads the
+    # mask out of the denominator window's core.
     pad_x = (rx + 1, rx + 1 + (Xp - X))
     pad_y = (ry + 1, (Yp - Y) + wyw - by - ry - 1)
     num = jnp.pad(num, (pad_x, pad_y, (0, 0)), mode="edge")
     den = jnp.pad(den, (pad_x, pad_y, (0, 0)), mode="edge")
-    if (Xp, Yp) != (X, Y):
-        m = jnp.pad(m, ((0, Xp - X), (0, Yp - Y), (0, 0)), mode="edge")
 
-    # VMEM: 8 double-buffered outputs + mask blocks + 2 windows x n_buf +
-    # the two s scratches + ~4 window-sized compiler temporaries
+    # VMEM: 8 double-buffered outputs + 2 windows x n_buf + the two s
+    # scratches + ~4 window-sized compiler temporaries
     item = image.dtype.itemsize
     if n_buf is None:
         est2 = item * Z * (
-            2 * 9 * bx * by + (2 * 2 + 4) * nxw * wyw + 2 * (bx + 2) * yk
+            2 * 8 * bx * by + (2 * 2 + 4) * nxw * wyw + 2 * (bx + 2) * yk
         )
         n_buf = 2 if est2 <= int(0.8 * _VMEM_LIMIT) else 1
 
     kernel = functools.partial(
         _features8_tap_kernel, bx=bx, by=by, yk=yk, nxw=nxw, wyw=wyw,
-        x_true=X, y_true=Y, taps_x=taps_x, taps_y=taps_y, taps_z=taps_z,
-        hx=hx, hy=hy, hz=hz, n_buf=n_buf, zshift=variant,
+        rx=rx, ry=ry, x_true=X, y_true=Y, taps_x=taps_x, taps_y=taps_y,
+        taps_z=taps_z, hx=hx, hy=hy, hz=hz, n_buf=n_buf, zshift=variant,
     )
     blk_spec = pl.BlockSpec(
         (bx, by, Z), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
@@ -764,7 +768,6 @@ def fused_features8_tap(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            blk_spec,
         ],
         out_specs=[blk_spec] * 8,
         out_shape=[jax.ShapeDtypeStruct((Xp, Yp, Z), image.dtype)] * 8,
@@ -781,7 +784,7 @@ def fused_features8_tap(
             vmem_limit_bytes=_VMEM_LIMIT
         ),
         interpret=interpret,
-    )(num, den, m)
+    )(num, den)
     if (Xp, Yp, Z) != (X, Y, Zin):
         outs = [o[:X, :Y, :Zin] for o in outs]
     if stack:
