@@ -344,6 +344,15 @@ def _features8_tap_kernel(n_hbm, c_hbm, o0, o1, o2, o3, o4, o5, o6,
     dt = nwin.dtype
     nx1 = bx + 2
 
+    if zshift == "copyfloor":
+        # roofline probe: same window DMA traffic + 8 output blocks,
+        # near-zero compute — measures this kernel shape's DMA floor
+        cn = nwin[rx + 1:rx + 1 + bx, ry + 1:ry + 1 + by, :]
+        cc = cwin[rx + 1:rx + 1 + bx, ry + 1:ry + 1 + by, :]
+        for k, ref in enumerate((o0, o1, o2, o3, o4, o5, o6, o7)):
+            ref[:] = (cn if k % 2 else cc) + jnp.asarray(float(k), dt)
+        return
+
     def xpass(a):
         acc = jnp.asarray(taps_x[0], dt) * a[0:nx1]
         for t in range(1, len(taps_x)):
@@ -356,13 +365,15 @@ def _features8_tap_kernel(n_hbm, c_hbm, o0, o1, o2, o3, o4, o5, o6,
             acc = acc + jnp.asarray(taps_y[t], dt) * a[:, t:t + yk, :]
         return acc
 
+    zsh = _clamp_shift_z_roll if zshift == "roll" else _clamp_shift_z
+
     def zpass(a):
         rz = (len(taps_z) - 1) // 2
         acc = jnp.asarray(taps_z[rz], dt) * a
         up, dn = a, a
         for k in range(1, rz + 1):
-            up = _clamp_shift_z(up, 1)
-            dn = _clamp_shift_z(dn, -1)
+            up = zsh(up, 1)
+            dn = zsh(dn, -1)
             acc = acc + jnp.asarray(taps_z[rz + k], dt) * up
             acc = acc + jnp.asarray(taps_z[rz - k], dt) * dn
         return acc
