@@ -40,12 +40,15 @@ def _device_kind():
     return d.platform, d.device_kind
 
 
-def _loop_time(fn, x, *rest, inner=10, reps=3):
+def _loop_time(fn, x, *rest, inner=32, reps=3):
     """Per-pass device time via the loop-amortized method: `inner` serial
     passes inside ONE jit (each pass consumes the previous output), one
     data-dependent scalar fetched, divided by inner — the only timing
     that survives the axon tunnel's RPC jitter (block_until_ready returns
     early through the tunnel; single-shot wall timing is noisy to ±2x).
+    inner must be LARGE: probe11 measured a ~26 ms fixed cost per loop
+    invocation (the RPC round trip), so inner=8 overstates a 10 ms pass
+    by ~30%; inner=32 bounds the bias at ~1 ms.
     `rest` are constant jit PARAMETERS (never close over big device
     arrays — they embed in the compile payload and the tunnel rejects it,
     HTTP 413)."""
@@ -69,7 +72,7 @@ def _loop_time(fn, x, *rest, inner=10, reps=3):
     return min(ts) / inner
 
 
-def bench_tpu(shape, inner=10, reps=3, use_fused=True):
+def bench_tpu(shape, inner=32, reps=3, use_fused=True):
     """Per-pass device time for the full feature-volume materialization."""
     import jax
     import jax.numpy as jnp
@@ -123,8 +126,9 @@ def verify_on_chip(shape=(128, 128, 128), sigma=1.0, spacing=(0.78, 0.78, 1.0)):
     real device (interpreter-mode tests can't catch Mosaic lowering
     regressions — round 2's fused_features8_full proved the failure mode).
 
-    Covers the two kernels the product dispatches: fused_features8_xs
-    (the flagship pass) and fused_hessian_eig (the bench hot path).
+    Covers the two kernels the product dispatches: fused_features8_tap
+    (the flagship pass, features8_auto's small/medium-scale path) and
+    fused_hessian_eig (the bench hot path).
     Channels 0,1 (smoothed, |grad|) and 5,6,7 (the symmetric eigenvalue
     functions) must agree tightly; eigen channels 2-4 are compared as
     VALUE-SORTED triples because the |e|-ordering legitimately swaps at
@@ -133,7 +137,7 @@ def verify_on_chip(shape=(128, 128, 128), sigma=1.0, spacing=(0.78, 0.78, 1.0)):
     """
     import jax
     import jax.numpy as jnp
-    from ife_tpu.kernels.fused import fused_features8_xs, fused_hessian_eig
+    from ife_tpu.kernels.fused import fused_features8_tap, fused_hessian_eig
     from ife_tpu.ops.features import features8, hessian_eig_features
 
     key = jax.random.PRNGKey(0)
@@ -143,8 +147,8 @@ def verify_on_chip(shape=(128, 128, 128), sigma=1.0, spacing=(0.78, 0.78, 1.0)):
 
     @jax.jit
     def errs(v, m):
-        a = jnp.moveaxis(fused_features8_xs(v, m, sigma, spacing,
-                                            stack=True), 0, -1)
+        a = jnp.moveaxis(fused_features8_tap(v, m, sigma, spacing,
+                                             stack=True), 0, -1)
         b = features8(v, m, sigma, spacing)
         scale = jnp.maximum(jnp.abs(b).reshape(-1, 8).max(axis=0), 1.0)
         direct = jnp.abs(a - b).reshape(-1, 8).max(axis=0) / scale
@@ -184,8 +188,8 @@ def bench_all(out_path="BENCH_DETAIL.json"):
     detail = {"device": kind, "platform": platform}
 
     from ife_tpu.ops.eigen import eigenvalue_features
-    from ife_tpu.ops.features import features8
-    from ife_tpu.kernels.fused import fused_features8_xs, fused_hessian_eig
+    from ife_tpu.ops.features import features8, features8_auto
+    from ife_tpu.kernels.fused import fused_hessian_eig
     from ife_tpu.ops.features import hessian_eig_features
 
     key = jax.random.PRNGKey(0)
@@ -199,7 +203,7 @@ def bench_all(out_path="BENCH_DETAIL.json"):
         e = eigenvalue_features(h)
         return jnp.broadcast_to(e[..., :1], h.shape)
 
-    dt = _loop_time(lambda h: eig_pass(h), H, inner=20)
+    dt = _loop_time(lambda h: eig_pass(h), H, inner=64)
     detail["config1_eigen_64cubed_voxels_per_sec"] = round(64 ** 3 / dt, 1)
 
     # config 2: single-scale Hessian features + eigen, 128^3
@@ -220,14 +224,13 @@ def bench_all(out_path="BENCH_DETAIL.json"):
 
     def multi(v, m):
         outs = [
-            (jnp.moveaxis(fused_features8_xs(v, m, s, (0.78, 0.78, 1.0),
-                                             stack=True), 0, -1)
+            (features8_auto(v, m, s, (0.78, 0.78, 1.0))
              if on_tpu else features8(v, m, s, (0.78, 0.78, 1.0)))[..., 0]
             for s in scales
         ]
         return jnp.stack(outs, 0).sum(0)
 
-    dt = _loop_time(multi, x256, m256, inner=4)
+    dt = _loop_time(multi, x256, m256, inner=12)
     detail["config3_multiscale4_features8_voxels_per_sec"] = round(
         float(np.prod(shape3)) * len(scales) / dt, 1)
     detail["config3_shape"] = list(shape3)
@@ -243,8 +246,7 @@ def bench_all(out_path="BENCH_DETAIL.json"):
     edges = jnp.linspace(-1200.0, 600.0, 31)
 
     def bag_stats(v, m, e):
-        f8 = (jnp.moveaxis(fused_features8_xs(v, m, 1.0, (0.78, 0.78, 1.0),
-                                              stack=True), 0, -1)
+        f8 = (features8_auto(v, m, 1.0, (0.78, 0.78, 1.0))
               if on_tpu else features8(v, m, 1.0, (0.78, 0.78, 1.0)))
         counts = jnp.stack([
             histogram_counts(f8[..., c].ravel(), e,
@@ -253,7 +255,7 @@ def bench_all(out_path="BENCH_DETAIL.json"):
         # serial dependence: perturb the image by a data-dependent scalar
         return v + counts.sum().astype(v.dtype) * jnp.asarray(0.0, v.dtype)
 
-    dt = _loop_time(bag_stats, x512, m512, edges, inner=4)
+    dt = _loop_time(bag_stats, x512, m512, edges, inner=12)
     detail["config4_features_plus_hist_512cubed_voxels_per_sec"] = round(
         float(np.prod(shape4)) / dt, 1)
     detail["config4_shape"] = list(shape4)

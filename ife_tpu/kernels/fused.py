@@ -475,7 +475,7 @@ def _pick_n_buf(bx: int, by: int, wy: int, Z: int, n_out: int,
 
 @functools.partial(
     jax.jit, static_argnames=("spacing", "block", "interpret", "stack",
-                              "pre_padded", "variant", "n_buf")
+                              "pre_padded", "variant", "n_buf", "dims")
 )
 def fused_hessian_eig(
     x: jax.Array,
@@ -486,6 +486,7 @@ def fused_hessian_eig(
     pre_padded: bool = False,
     variant: str = "concat",
     n_buf: int | None = None,
+    dims: Sequence[str] | None = None,
 ):
     """Six eigen features of the Hessian in one fused HBM pass.
 
@@ -559,7 +560,8 @@ def fused_hessian_eig(
             pltpu.SemaphoreType.DMA((n_buf,)),
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT
+            vmem_limit_bytes=_VMEM_LIMIT,
+            dimension_semantics=None if dims is None else tuple(dims),
         ),
         interpret=interpret,
     )(xp)

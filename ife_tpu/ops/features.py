@@ -94,28 +94,54 @@ def features8_jit(image, mask, *, sigma, spacing=(1.0, 1.0, 1.0), truncate=4.5):
     return features8(image, mask, sigma, spacing, truncate)
 
 
-def features8_auto(image, mask, sigma, spacing=(1.0, 1.0, 1.0), truncate=4.5):
-    """features8 with automatic backend dispatch on TPU: the staged fused
-    path (blocked band-matrix MXU smoothing + one post-smoothing Pallas
-    pass for gradient/Hessian/eigen/masking); the XLA-composed expression
-    elsewhere. Returns (X, Y, Z, 8) either way.
+def _tap_radius_ok(sigma, spacing, truncate=4.5):
+    """True when the all-in-kernel tap path handles this scale well: the
+    halo windows (and the unrolled in-kernel tap chains) grow with the
+    smoothing radius — beyond ~8 voxels the window read amplification
+    erodes the win and the Mosaic register allocator starts spilling
+    (sigma=2.4 at 0.78 mm spacing failed to compile at 512^3)."""
+    import math
 
-    A fully-fused kernel (fused_features8_full, ALL smoothing inside one
-    Pallas pass via in-kernel MXU matmuls) was built in round 2, measured
-    no faster than the staged path (44.2 vs 43.4 ms at 512^3), produced
-    wrong derivative channels on real hardware (interpreter parity was
-    1e-14 — a Mosaic lowering fault in the in-kernel matmul/scratch path),
-    and was DELETED in round 3; docs/design.md records the negative
-    result. Its successor fused_features8_xs folds only the x-axis
-    smoothing + divide into the kernel (VPU-only in-kernel work).
+    for h in spacing[:2]:
+        if math.ceil(truncate * float(sigma) / float(h)) > 8:
+            return False
+    return True
+
+
+def features8_auto(image, mask, sigma, spacing=(1.0, 1.0, 1.0), truncate=4.5):
+    """features8 with automatic backend dispatch on TPU; the XLA-composed
+    expression elsewhere. Returns (X, Y, Z, 8) either way.
+
+    TPU dispatch (512^3 v5e, loop-amortized; see benchmarks/probe12/13):
+      * small/medium scales (smoothing radius <= 8 voxels):
+        fused_features8_tap — the ENTIRE pipeline in one Pallas pass
+        (~30 ms vs the staged path's ~47 ms at sigma=1.0)
+      * larger scales: the staged path (MXU band-einsum smoothing + the
+        post-smoothing Pallas kernel) — the tap kernel's halo windows and
+        unrolled tap chains stop paying beyond radius ~8.
+
+    History: a fully-fused kernel with in-kernel MXU matmuls
+    (fused_features8_full, round 2) was no faster than staged and produced
+    wrong derivative channels on real hardware; docs/design.md records the
+    negative result. The tap kernel reaches the same fusion goal with
+    strictly VPU-shaped in-kernel smoothing, and its on-chip parity is
+    gated by bench.py --verify.
     """
     if jax.devices()[0].platform == "tpu" and image.ndim == 3:
-        from ife_tpu.kernels.fused import fused_features8_xs
+        if _tap_radius_ok(sigma, spacing, truncate):
+            from ife_tpu.kernels.fused import fused_features8_tap
 
-        out = fused_features8_xs(
-            image, mask, float(sigma), tuple(spacing), truncate,
-            stack=True,
-        )
+            out = fused_features8_tap(
+                image, mask, float(sigma), tuple(spacing), truncate,
+                stack=True,
+            )
+        else:
+            from ife_tpu.kernels.fused import fused_features8
+
+            out = fused_features8(
+                image, mask, float(sigma), tuple(spacing), truncate,
+                stack=True,
+            )
         return jnp.moveaxis(out, 0, -1)
     return features8_jit(
         image, mask, sigma=float(sigma), spacing=tuple(spacing),
