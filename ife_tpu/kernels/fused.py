@@ -174,6 +174,96 @@ def _stencil_block(s, hx, hy, hz, zshift="concat"):
     return core, dxx, dyy, dzz, dxy, dxz, dyz, dx_c, dy, dz_c
 
 
+def _clamp_shift_y(s: jnp.ndarray, off: int) -> jnp.ndarray:
+    """s shifted by `off` along the sublane (y) axis with edge clamp."""
+    if off == -1:
+        return jnp.concatenate([s[:, :1, :], s[:, :-1, :]], axis=1)
+    if off == 1:
+        return jnp.concatenate([s[:, 1:, :], s[:, -1:, :]], axis=1)
+    raise ValueError(off)
+
+
+def _stream_kernel(x_ref, o0, o1, o2, o3, o4, o5, prev, prev_last, *,
+                   bx, hx, hy, hz, n_x):
+    """Streaming Hessian+eig: 1D grid over x-slabs, NO manual halo DMA.
+
+    The x stencil halo is carried ACROSS grid steps instead of re-fetched
+    per window: step i receives input block i via the auto-pipelined
+    BlockSpec (min(i, n_x-1) — the last block is re-read once), computes
+    the full stencil/eigen chain for block i-1 from the persistent VMEM
+    scratches (prev = block i-1, prev_last = the last row of block i-2),
+    and writes output block max(i-1, 0) — a LAGGED output index map, so
+    step 0's garbage write to block 0 is overwritten by step 1 while the
+    block is still resident. y and z are full-extent in the block, so
+    their boundaries are true volume edges handled by clamp shifts.
+
+    vs the windowed kernel this removes the (bx+2)/bx input read
+    amplification AND the manual-DMA scheduling overhead (measured ~2.3 ms
+    of the 9.5 ms pass at 512^3): every byte moves through Mosaic's own
+    block pipeline. Semantics identical: reference
+    Hessian3DImageFilter.hxx:19-59 + Symmetric3x3EigenvalueSolver.h:33-132.
+    """
+    i = pl.program_id(0)
+    dt = x_ref.dtype
+    r2x = jnp.asarray(1.0 / (2.0 * hx), dt)
+    r2y = jnp.asarray(1.0 / (2.0 * hy), dt)
+    r2z = jnp.asarray(1.0 / (2.0 * hz), dt)
+    rxx = jnp.asarray(1.0 / (hx * hx), dt)
+    ryy = jnp.asarray(1.0 / (hy * hy), dt)
+    rzz = jnp.asarray(1.0 / (hz * hz), dt)
+
+    cur = x_ref[:]
+
+    @pl.when(i > 0)
+    def _():
+        s0 = prev[:]
+        # x layers for output rows r: global (i-1)*bx + r - 1 / + 1.
+        # prev_last holds the clamped row -1 at the volume's low edge
+        # (step 0 seeds it with block 0's first row); the high edge
+        # clamps to prev's own last row on the final (re-read) step.
+        sm = jnp.concatenate([prev_last[:], s0[:-1]], axis=0)
+        hi = jnp.where(i == n_x, s0[-1:], cur[:1])
+        sp = jnp.concatenate([s0[1:], hi], axis=0)
+
+        core = s0
+        dxx = (sp - 2 * core + sm) * rxx
+        s_yp = _clamp_shift_y(s0, 1)
+        s_ym = _clamp_shift_y(s0, -1)
+        dyy = (s_yp - 2 * core + s_ym) * ryy
+        s_zp = _clamp_shift_z(s0, 1)
+        s_zm = _clamp_shift_z(s0, -1)
+        dzz = (s_zp - 2 * core + s_zm) * rzz
+        # cascaded cross terms (reference order: Dx->Dy, Dx->Dz, Dy->Dz;
+        # clamped central differences commute stage-wise)
+        dx = (sp - sm) * r2x
+        dxy = (_clamp_shift_y(dx, 1) - _clamp_shift_y(dx, -1)) * r2y
+        dxz = (_clamp_shift_z(dx, 1) - _clamp_shift_z(dx, -1)) * r2z
+        dy = (s_yp - s_ym) * r2y
+        dyz = (_clamp_shift_z(dy, 1) - _clamp_shift_z(dy, -1)) * r2z
+
+        feats = eigenvalue_feature_channels(
+            dxx, dxy, dxz, dyy, dyz, dzz, use_trig=False, diag_path=False
+        )
+        for ref, val in zip((o0, o1, o2, o3, o4, o5), feats):
+            ref[:] = val
+
+    @pl.when(i == 0)
+    def _():
+        # seed: row -1 := row 0 (ZeroFluxNeumann at the low x face); the
+        # lagged output block 0 is written with zeros and overwritten at
+        # step 1 while still resident
+        prev_last[:] = cur[:1]
+        zero = jnp.zeros_like(cur)
+        for ref in (o0, o1, o2, o3, o4, o5):
+            ref[:] = zero
+
+    @pl.when(i > 0)
+    def _():
+        prev_last[:] = prev[-1:]
+
+    prev[:] = cur
+
+
 def _kernel(x_hbm, o0, o1, o2, o3, o4, o5, scratch, sem, *, bx, by, wy,
             hx, hy, hz, n_buf, variant="concat"):
     win = _window_pipeline(x_hbm, scratch, sem, bx, by, wy, n_buf)
@@ -565,6 +655,66 @@ def fused_hessian_eig(
         ),
         interpret=interpret,
     )(xp)
+    if (Xp, Yp, Z) != (X, Y, Zin):
+        outs = [o[:X, :Y, :Zin] for o in outs]
+    if stack:
+        return jnp.stack(outs, axis=0)
+    return tuple(outs)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spacing", "block", "interpret", "stack")
+)
+def fused_hessian_eig_stream(
+    x: jax.Array,
+    spacing: Sequence[float] = (1.0, 1.0, 1.0),
+    block: int = 4,
+    interpret: bool = False,
+    stack: bool = True,
+):
+    """Streaming-halo variant of fused_hessian_eig: 1D grid over x-slabs
+    with full (Y, Z) extent per block, the x halo carried across grid
+    steps in persistent VMEM (see _stream_kernel), every input/output byte
+    moved by Mosaic's own block pipeline — no manual window DMA, no halo
+    read amplification. Same outputs/ordering as fused_hessian_eig.
+    """
+    X, Y, Zin = x.shape
+    Z = Zin if interpret else -(-Zin // 128) * 128
+    Yp = Y if interpret else -(-Y // 8) * 8
+    if (Yp, Z) != (Y, Zin):
+        x = jnp.pad(x, ((0, 0), (0, Yp - Y), (0, Z - Zin)), mode="edge")
+    bx, Xp = _pick_block(X, block)
+    if Xp != X:
+        x = jnp.pad(x, ((0, Xp - X), (0, 0), (0, 0)), mode="edge")
+    n_x = Xp // bx
+    hx, hy, hz = (float(s) for s in spacing)
+
+    kernel = functools.partial(
+        _stream_kernel, bx=bx, hx=hx, hy=hy, hz=hz, n_x=n_x
+    )
+    in_spec = pl.BlockSpec(
+        (bx, Yp, Z), lambda i: (jnp.minimum(i, n_x - 1), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (bx, Yp, Z), lambda i: (jnp.maximum(i - 1, 0), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_x + 1,),
+        in_specs=[in_spec],
+        out_specs=[out_spec] * 6,
+        out_shape=[jax.ShapeDtypeStruct((Xp, Yp, Z), x.dtype)] * 6,
+        scratch_shapes=[
+            pltpu.VMEM((bx, Yp, Z), x.dtype),
+            pltpu.VMEM((1, Yp, Z), x.dtype),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(x)
     if (Xp, Yp, Z) != (X, Y, Zin):
         outs = [o[:X, :Y, :Zin] for o in outs]
     if stack:

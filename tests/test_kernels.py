@@ -325,3 +325,37 @@ def test_tap_fused_f32_as_accurate_as_xla():
     # ~2.2x on this golden. Still inside the documented per-channel error
     # budget (docs/design.md).
     assert np.all(e_tap < np.maximum(2.5 * e_xla, 1e-6)), (e_tap, e_xla)
+
+
+# ---------------------------------------------------------------------------
+# fused_hessian_eig_stream (1D streaming grid, x halo carried across steps)
+# ---------------------------------------------------------------------------
+
+
+def _got_stream(x, block=4):
+    from ife_tpu.kernels.fused import fused_hessian_eig_stream
+
+    out = fused_hessian_eig_stream(x, SPACING, block=block, interpret=True)
+    return np.moveaxis(np.asarray(out), 0, -1)
+
+
+def test_stream_matches_ops_f64():
+    x = synthetic_ct((24, 20, 16), seed=11, dtype=jnp.float64).data
+    _assert_feature_parity(_got_stream(x), _want(x), 1e-9)
+
+
+def test_stream_odd_shapes_and_blocks():
+    # prime extents exercise the edge-pad path; block > X exercises the
+    # single-slab degenerate grid (one real step + one re-read step)
+    for shape, blk in [((17, 13, 11), 4), ((8, 9, 8), 8), ((6, 9, 8), 16)]:
+        x = synthetic_ct(shape, seed=12, dtype=jnp.float64).data
+        _assert_feature_parity(_got_stream(x, block=blk), _want(x), 1e-9)
+
+
+def test_stream_matches_windowed_kernel_f32():
+    x = synthetic_ct((24, 16, 16), seed=13, dtype=jnp.float32).data
+    a = _got_stream(x)
+    b = _got(x)
+    # both kernels implement the identical math; f32 sum-order differences
+    # only, far below the per-channel budget
+    _assert_feature_parity(a, b, 1e-6)
