@@ -76,7 +76,7 @@ def bench_tpu(shape, inner=32, reps=3, use_fused=True):
     """Per-pass device time for the full feature-volume materialization."""
     import jax
     import jax.numpy as jnp
-    from ife_tpu.kernels.fused import fused_hessian_eig
+    from ife_tpu.kernels.fused import fused_hessian_eig_stream
     from ife_tpu.ops.features import hessian_eig_features
 
     key = jax.random.PRNGKey(0)
@@ -86,8 +86,11 @@ def bench_tpu(shape, inner=32, reps=3, use_fused=True):
     on_tpu = jax.devices()[0].platform == "tpu" and use_fused
 
     if on_tpu:
+        # streaming-halo kernel, block=2: 9.07 ms vs the windowed kernel's
+        # 9.54 at 512^3 (benchmarks/out/r3_batch4.txt)
         def one_pass(v):
-            return fused_hessian_eig(v, (0.78, 0.78, 1.0), stack=False)[0]
+            return fused_hessian_eig_stream(
+                v, (0.78, 0.78, 1.0), block=2, stack=False)[0]
     else:
         def one_pass(v):
             return hessian_eig_features(v, (0.78, 0.78, 1.0))[..., 0]
@@ -126,9 +129,10 @@ def verify_on_chip(shape=(128, 128, 128), sigma=1.0, spacing=(0.78, 0.78, 1.0)):
     real device (interpreter-mode tests can't catch Mosaic lowering
     regressions — round 2's fused_features8_full proved the failure mode).
 
-    Covers the two kernels the product dispatches: fused_features8_tap
-    (the flagship pass, features8_auto's small/medium-scale path) and
-    fused_hessian_eig (the bench hot path).
+    Covers the three kernels the product dispatches: fused_features8_tap
+    (the flagship pass, features8_auto's small/medium-scale path),
+    fused_hessian_eig (the windowed per-shard kernel), and
+    fused_hessian_eig_stream (the bench hot path).
     Channels 0,1 (smoothed, |grad|) and 5,6,7 (the symmetric eigenvalue
     functions) must agree tightly; eigen channels 2-4 are compared as
     VALUE-SORTED triples because the |e|-ordering legitimately swaps at
@@ -137,7 +141,9 @@ def verify_on_chip(shape=(128, 128, 128), sigma=1.0, spacing=(0.78, 0.78, 1.0)):
     """
     import jax
     import jax.numpy as jnp
-    from ife_tpu.kernels.fused import fused_features8_tap, fused_hessian_eig
+    from ife_tpu.kernels.fused import (
+        fused_features8_tap, fused_hessian_eig, fused_hessian_eig_stream,
+    )
     from ife_tpu.ops.features import features8, hessian_eig_features
 
     key = jax.random.PRNGKey(0)
@@ -161,15 +167,20 @@ def verify_on_chip(shape=(128, 128, 128), sigma=1.0, spacing=(0.78, 0.78, 1.0)):
             fused_hessian_eig(v, spacing, stack=False)[:3], -1), axis=-1)
         hb = jnp.sort(hessian_eig_features(v, spacing)[..., :3], axis=-1)
         heig = jnp.abs(ha - hb).max() / jnp.maximum(jnp.abs(hb).max(), 1.0)
-        return direct, eig, heig
+        sa = jnp.sort(jnp.stack(
+            fused_hessian_eig_stream(v, spacing, block=2,
+                                     stack=False)[:3], -1), axis=-1)
+        seig = jnp.abs(sa - hb).max() / jnp.maximum(jnp.abs(hb).max(), 1.0)
+        return direct, eig, heig, seig
 
-    direct, eig, heig = (np.asarray(e) for e in errs(img, msk))
+    direct, eig, heig, seig = (np.asarray(e) for e in errs(img, msk))
     report = {
         "smoothed": float(direct[0]), "gradmag": float(direct[1]),
         "log": float(direct[5]), "gausscurv": float(direct[6]),
         "frobenius": float(direct[7]),
         "eig_sorted_features8": float(eig),
         "eig_sorted_hessian_eig": float(heig),
+        "eig_sorted_hessian_eig_stream": float(seig),
     }
     for k, v in report.items():
         assert v < 1e-4, (k, v, report)
@@ -208,7 +219,7 @@ def bench_all(out_path="BENCH_DETAIL.json"):
 
     # config 2: single-scale Hessian features + eigen, 128^3
     x128 = jax.random.normal(key, (128, 128, 128), jnp.float32)
-    fn2 = (lambda v: fused_hessian_eig(v, (0.78, 0.78, 1.0), stack=False)[0]) \
+    fn2 = (lambda v: fused_hessian_eig_stream(v, (0.78, 0.78, 1.0), block=2, stack=False)[0]) \
         if on_tpu else (lambda v: hessian_eig_features(v, (0.78, 0.78, 1.0))[..., 0])
     dt = _loop_time(fn2, x128)
     detail["config2_hessian_eig_128cubed_voxels_per_sec"] = round(128 ** 3 / dt, 1)
