@@ -200,7 +200,7 @@ def bench_all(out_path="BENCH_DETAIL.json"):
 
     from ife_tpu.ops.eigen import eigenvalue_features
     from ife_tpu.ops.features import features8, features8_auto
-    from ife_tpu.kernels.fused import fused_hessian_eig
+    from ife_tpu.kernels.fused import fused_hessian_eig_stream
     from ife_tpu.ops.features import hessian_eig_features
 
     key = jax.random.PRNGKey(0)

@@ -359,3 +359,55 @@ def test_stream_matches_windowed_kernel_f32():
     # both kernels implement the identical math; f32 sum-order differences
     # only, far below the per-channel budget
     _assert_feature_parity(a, b, 1e-6)
+
+
+# ---------------------------------------------------------------------------
+# fused_features8_sweep (line-sweep: one row per step, ring-buffered input)
+# ---------------------------------------------------------------------------
+
+
+def _sweep(x, mask, sigma, **kw):
+    from ife_tpu.kernels.fused import fused_features8_sweep
+
+    return np.moveaxis(
+        np.asarray(
+            fused_features8_sweep(x, mask, sigma, SPACING, interpret=True,
+                                  **kw)
+        ), 0, -1,
+    )
+
+
+def test_sweep_fused_features8_matches_ops_f64():
+    from ife_tpu.core.volume import sphere_mask
+    from ife_tpu.ops.features import features8
+
+    x = synthetic_ct((16, 16, 16), seed=5, dtype=jnp.float64).data
+    mask = sphere_mask((16, 16, 16), 0.45).data
+    want = np.asarray(features8(x, mask, 1.1, SPACING))
+    got = _sweep(x, mask, 1.1)
+    outside = np.asarray(mask) == 0
+    assert np.all(got[outside] == 0)
+    _features8_channel_parity(got, want, 1e-7)
+
+
+def test_sweep_fused_radius_larger_than_volume():
+    # the ring holds 2*rx+1 = 37 rows for a 16-row volume: every slot is
+    # boundary-fed; the row-0 seeding + the tail's row-(n-1) re-reads must
+    # reproduce clamp smoothing exactly.
+    from ife_tpu.core.volume import sphere_mask
+    from ife_tpu.ops.features import features8
+
+    x = synthetic_ct((16, 16, 16), seed=6, dtype=jnp.float64).data
+    mask = sphere_mask((16, 16, 16), 0.45).data
+    want = np.asarray(features8(x, mask, 2.5, SPACING))
+    _features8_channel_parity(_sweep(x, mask, 2.5), want, 1e-7)
+
+
+def test_sweep_fused_prime_extents():
+    from ife_tpu.core.volume import sphere_mask
+    from ife_tpu.ops.features import features8
+
+    x = synthetic_ct((13, 11, 16), seed=7, dtype=jnp.float64).data
+    mask = sphere_mask((13, 11, 16), 0.45).data
+    want = np.asarray(features8(x, mask, 0.9, SPACING))
+    _features8_channel_parity(_sweep(x, mask, 0.9), want, 1e-7)
