@@ -129,9 +129,9 @@ def verify_on_chip(shape=(128, 128, 128), sigma=1.0, spacing=(0.78, 0.78, 1.0)):
     real device (interpreter-mode tests can't catch Mosaic lowering
     regressions — round 2's fused_features8_full proved the failure mode).
 
-    Covers the three kernels the product dispatches: fused_features8_tap
-    (the flagship pass, features8_auto's small/medium-scale path),
-    fused_hessian_eig (the windowed per-shard kernel), and
+    Covers the three kernels the product dispatches:
+    fused_features8_sweep (the flagship line-sweep pass, features8_auto's
+    default path), fused_hessian_eig (the windowed per-shard kernel), and
     fused_hessian_eig_stream (the bench hot path).
     Channels 0,1 (smoothed, |grad|) and 5,6,7 (the symmetric eigenvalue
     functions) must agree tightly; eigen channels 2-4 are compared as
@@ -142,7 +142,7 @@ def verify_on_chip(shape=(128, 128, 128), sigma=1.0, spacing=(0.78, 0.78, 1.0)):
     import jax
     import jax.numpy as jnp
     from ife_tpu.kernels.fused import (
-        fused_features8_tap, fused_hessian_eig, fused_hessian_eig_stream,
+        fused_features8_sweep, fused_hessian_eig, fused_hessian_eig_stream,
     )
     from ife_tpu.ops.features import features8, hessian_eig_features
 
@@ -153,8 +153,8 @@ def verify_on_chip(shape=(128, 128, 128), sigma=1.0, spacing=(0.78, 0.78, 1.0)):
 
     @jax.jit
     def errs(v, m):
-        a = jnp.moveaxis(fused_features8_tap(v, m, sigma, spacing,
-                                             stack=True), 0, -1)
+        a = jnp.moveaxis(fused_features8_sweep(v, m, sigma, spacing,
+                                               stack=True), 0, -1)
         b = features8(v, m, sigma, spacing)
         scale = jnp.maximum(jnp.abs(b).reshape(-1, 8).max(axis=0), 1.0)
         direct = jnp.abs(a - b).reshape(-1, 8).max(axis=0) / scale
@@ -199,8 +199,10 @@ def bench_all(out_path="BENCH_DETAIL.json"):
     detail = {"device": kind, "platform": platform}
 
     from ife_tpu.ops.eigen import eigenvalue_features
-    from ife_tpu.ops.features import features8, features8_auto
-    from ife_tpu.kernels.fused import fused_hessian_eig_stream
+    from ife_tpu.ops.features import features8, _sweep_fits
+    from ife_tpu.kernels.fused import (
+        fused_features8, fused_features8_sweep, fused_hessian_eig_stream,
+    )
     from ife_tpu.ops.features import hessian_eig_features
 
     key = jax.random.PRNGKey(0)
@@ -216,6 +218,7 @@ def bench_all(out_path="BENCH_DETAIL.json"):
 
     dt = _loop_time(lambda h: eig_pass(h), H, inner=64)
     detail["config1_eigen_64cubed_voxels_per_sec"] = round(64 ** 3 / dt, 1)
+    print("config1 done:", detail, file=sys.stderr, flush=True)
 
     # config 2: single-scale Hessian features + eigen, 128^3
     x128 = jax.random.normal(key, (128, 128, 128), jnp.float32)
@@ -223,6 +226,7 @@ def bench_all(out_path="BENCH_DETAIL.json"):
         if on_tpu else (lambda v: hessian_eig_features(v, (0.78, 0.78, 1.0))[..., 0])
     dt = _loop_time(fn2, x128)
     detail["config2_hessian_eig_128cubed_voxels_per_sec"] = round(128 ** 3 / dt, 1)
+    print("config2 done:", detail, file=sys.stderr, flush=True)
 
     # config 3: multi-scale (4 sigma) features8, 256^3 synthetic CT.
     # The mask is a jit PARAMETER of the timing loop (closing over a big
@@ -233,18 +237,27 @@ def bench_all(out_path="BENCH_DETAIL.json"):
         jnp.float32)
     scales = (0.6, 1.2, 2.4, 4.8)
 
+    spc = (0.78, 0.78, 1.0)
+
+    def one_scale8(v, m, s):
+        # tuple form on TPU: no channel-last stack/moveaxis copies (at
+        # 512^3 those are 2 extra 4.3 GB materializations per pass and
+        # crashed the TPU worker via HBM exhaustion)
+        if not on_tpu:
+            return tuple(jnp.moveaxis(features8(v, m, s, spc), -1, 0))
+        k = (fused_features8_sweep if _sweep_fits(s, spc, v.shape)
+             else fused_features8)
+        return k(v, m, s, spc, stack=False)
+
     def multi(v, m):
-        outs = [
-            (features8_auto(v, m, s, (0.78, 0.78, 1.0))
-             if on_tpu else features8(v, m, s, (0.78, 0.78, 1.0)))[..., 0]
-            for s in scales
-        ]
+        outs = [one_scale8(v, m, s)[0] for s in scales]
         return jnp.stack(outs, 0).sum(0)
 
     dt = _loop_time(multi, x256, m256, inner=12)
     detail["config3_multiscale4_features8_voxels_per_sec"] = round(
         float(np.prod(shape3)) * len(scales) / dt, 1)
     detail["config3_shape"] = list(shape3)
+    print("config3 done:", detail, file=sys.stderr, flush=True)
 
     # config 4: features8 + device histograms at 512^3 (the make-bag /
     # bin-edges on-device stage), loop-amortized like the rest
@@ -257,10 +270,9 @@ def bench_all(out_path="BENCH_DETAIL.json"):
     edges = jnp.linspace(-1200.0, 600.0, 31)
 
     def bag_stats(v, m, e):
-        f8 = (features8_auto(v, m, 1.0, (0.78, 0.78, 1.0))
-              if on_tpu else features8(v, m, 1.0, (0.78, 0.78, 1.0)))
+        f8 = one_scale8(v, m, 1.0)
         counts = jnp.stack([
-            histogram_counts(f8[..., c].ravel(), e,
+            histogram_counts(f8[c].ravel(), e,
                              weights=m.ravel()) for c in range(8)
         ])
         # serial dependence: perturb the image by a data-dependent scalar
@@ -270,6 +282,7 @@ def bench_all(out_path="BENCH_DETAIL.json"):
     detail["config4_features_plus_hist_512cubed_voxels_per_sec"] = round(
         float(np.prod(shape4)) / dt, 1)
     detail["config4_shape"] = list(shape4)
+    print("config4 done:", detail, file=sys.stderr, flush=True)
 
     if on_tpu:
         detail["verify_on_chip"] = verify_on_chip()

@@ -108,30 +108,49 @@ def _tap_radius_ok(sigma, spacing, truncate=4.5):
     return True
 
 
+# the line-sweep kernel's two input ring buffers must fit in VMEM next to
+# the block pipeline: 2 * (2*rx+1) rows of (Y, Z) f32
+_SWEEP_RING_BUDGET = 60 * 1024 * 1024
+
+
+def _sweep_fits(sigma, spacing, shape, truncate=4.5):
+    """True when fused_features8_sweep's VMEM ring buffers fit for this
+    scale and slice size (rx <= ~16 on a 512^2 slice)."""
+    import math
+
+    rx = max(1, math.ceil(truncate * float(sigma) / float(spacing[0])))
+    Yp = -(-shape[1] // 8) * 8
+    Z = -(-shape[2] // 128) * 128
+    return 2 * (2 * rx + 1) * Yp * Z * 4 <= _SWEEP_RING_BUDGET
+
+
 def features8_auto(image, mask, sigma, spacing=(1.0, 1.0, 1.0), truncate=4.5):
     """features8 with automatic backend dispatch on TPU; the XLA-composed
     expression elsewhere. Returns (X, Y, Z, 8) either way.
 
-    TPU dispatch (512^3 v5e, loop-amortized; see benchmarks/probe12/13):
-      * small/medium scales (smoothing radius <= 8 voxels):
-        fused_features8_tap — the ENTIRE pipeline in one Pallas pass
-        (~30 ms vs the staged path's ~47 ms at sigma=1.0)
+    TPU dispatch (512^3 v5e, loop-amortized inner=32; benchmarks/out/
+    r3_batch5.txt):
+      * scales whose smoothing ring fits VMEM (sigma <= ~2.8 at 0.78 mm
+        spacing on a 512^2 slice): fused_features8_sweep — the ENTIRE
+        pipeline as a one-row-per-step line sweep (19.1 ms at sigma=1.0
+        vs 31.1 for the windowed tap kernel and ~47 for the staged path;
+        42 ms at sigma=2.4 vs ~51 staged)
       * larger scales: the staged path (MXU band-einsum smoothing + the
-        post-smoothing Pallas kernel) — the tap kernel's halo windows and
-        unrolled tap chains stop paying beyond radius ~8.
+        post-smoothing Pallas kernel).
 
     History: a fully-fused kernel with in-kernel MXU matmuls
     (fused_features8_full, round 2) was no faster than staged and produced
     wrong derivative channels on real hardware; docs/design.md records the
-    negative result. The tap kernel reaches the same fusion goal with
-    strictly VPU-shaped in-kernel smoothing, and its on-chip parity is
-    gated by bench.py --verify.
+    negative result and the fusion ladder (staged -> xs -> tap -> sweep)
+    that reached the goal with strictly VPU-shaped in-kernel smoothing.
+    On-chip parity of the dispatched kernels is gated by bench.py
+    --verify.
     """
     if jax.devices()[0].platform == "tpu" and image.ndim == 3:
-        if _tap_radius_ok(sigma, spacing, truncate):
-            from ife_tpu.kernels.fused import fused_features8_tap
+        if _sweep_fits(sigma, spacing, image.shape, truncate):
+            from ife_tpu.kernels.fused import fused_features8_sweep
 
-            out = fused_features8_tap(
+            out = fused_features8_sweep(
                 image, mask, float(sigma), tuple(spacing), truncate,
                 stack=True,
             )

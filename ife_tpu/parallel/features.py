@@ -193,10 +193,12 @@ def _features8_block(
         from ife_tpu.kernels.fused import fused_features8_post
 
         s_ext = _halo_or_edge_pad(s, sharded_axes)
+        # stack=False + stack(axis=-1): one channel-last materialization
+        # instead of stack + moveaxis (two full 8-volume copies)
         out = fused_features8_post(
-            s_ext, m, tuple(spacing), pre_padded=True, stack=True
+            s_ext, m, tuple(spacing), pre_padded=True, stack=False
         )
-        return jnp.moveaxis(out, 0, -1)
+        return jnp.stack(out, axis=-1)
 
     gm, H = _grad_hessian_block(s, sharded_axes, spacing)
     eig = eigenvalue_features(H)
@@ -272,11 +274,13 @@ def sharded_hessian_eig(
             from ife_tpu.kernels.fused import fused_hessian_eig
 
             ext = _halo_or_edge_pad(img, saxes)
+            # stack=False + stack(axis=-1): one channel-last
+            # materialization instead of stack + moveaxis (two copies)
             out = fused_hessian_eig(
                 ext, tuple(float(v) for v in spacing),
-                pre_padded=True, stack=True,
+                pre_padded=True, stack=False,
             )
-            return jnp.moveaxis(out, 0, -1)
+            return jnp.stack(out, axis=-1)
         _, H = _grad_hessian_block(img, saxes, tuple(float(v) for v in spacing))
         return eigenvalue_features(H)
 
