@@ -517,28 +517,29 @@ def _features8_tap_kernel(n_hbm, c_hbm, o0, o1, o2, o3, o4, o5, o6,
 
 
 def _features8_sweep_kernel(im_ref, mk_ref, o0, o1, o2, o3, o4, o5, o6, o7,
-                            ring_n, ring_m, s3, *, R, n, rx, taps_x,
-                            taps_y, taps_z, hx, hy, hz, x_true):
-    """Line-sweep features8: ONE row per grid step, the whole pipeline.
+                            ring_n, ring_m, s_carry, *, R, n_blocks, bx, L,
+                            rx, taps_x, taps_y, taps_z, hx, hy, hz, x_true):
+    """Line-sweep features8: bx rows of all 8 channels per grid step.
 
     Streaming structure (the tap kernel without windows): input rows live
-    in a ring buffer of R >= 2*rx+1 slots in VMEM, addressed by dynamic
-    slices — no halo windows, no read amplification, no scratch shifting.
-    Step i appends input row i (the BlockSpec re-reads row n-1 past the
-    end, which IS the clamp replica), computes the fully-smoothed row
-    t = i - rx from the ring (x taps are 2*rx+1 dynamic ring reads; y and
-    z taps are edge-clamped shifts on the single row — full extent, so
-    their boundaries are true volume edges), pushes it through the 3-row
-    carried window s3, and emits feature row k = i - rx - 1 via a lagged
-    output index map. HBM traffic = read image+mask once + write the 8
-    channels — the op's true lower bound.
+    in an R-row ring buffer in VMEM (R a multiple of bx, R >= 2*rx+2+2*bx
+    for overwrite safety), addressed by dynamic row slices — no halo
+    windows, no read amplification, no scratch shifting. Step i appends
+    input block i (bx rows; past the volume end the block is replaced by
+    a broadcast of the last true row, the clamp replica), completes the
+    smoothing of bx rows from the ring (x taps are 2*rx+1 dynamic ring
+    reads per row; y and z taps are edge-clamped shifts on the full-extent
+    rows), maintains a (bx+2)-row carried window of the smoothed field,
+    and emits feature block k = i - L via a lagged output index map
+    (L = ceil((rx+1)/bx)). HBM traffic = read image+mask once + write the
+    8 channels — the op's true lower bound.
 
-    Seeding: at step 0 every ring slot is filled with row 0, which is
-    exactly the clamp value every negative row position would hold; a
-    slot is only ever overwritten after its last phantom read because
-    R >= 2*rx+1. The stencil's phantom rows s(-1)/s(X) are re-clamped by
-    explicit row-index selects (the smoothed-at-phantom value is not the
-    ZeroFluxNeumann neighbor).
+    Seeding: at step 0 every ring row is filled with row 0, which is
+    exactly the clamp value every negative row position would hold; the
+    ring is large enough that a seeded slot is only overwritten after its
+    last phantom read. The stencil's phantom rows s(-1)/s(X) are
+    re-clamped by global-row-index selects (the smoothed-at-phantom value
+    is not the ZeroFluxNeumann neighbor).
 
     Semantics: reference ImageToEmphysemaFeaturesFilter.hxx:14-55 +
     NormalizedGaussianConvolutionImageFilter.hxx:40-63 end to end.
@@ -546,32 +547,38 @@ def _features8_sweep_kernel(im_ref, mk_ref, o0, o1, o2, o3, o4, o5, o6, o7,
     i = pl.program_id(0)
     dt = im_ref.dtype
 
-    imrow = im_ref[:]
-    mkrow = jnp.clip(mk_ref[:], 0, 1)
+    mkcur = jnp.clip(mk_ref[:], 0, 1)
+    numcur = im_ref[:] * mkcur
+    # tail steps re-read the last block; the clamp replica is its LAST row
+    last_n = jnp.broadcast_to(numcur[-1:], numcur.shape)
+    last_m = jnp.broadcast_to(mkcur[-1:], mkcur.shape)
+    tail = i >= n_blocks
+    app_n = jnp.where(tail, last_n, numcur)
+    app_m = jnp.where(tail, last_m, mkcur)
 
     @pl.when(i == 0)
     def _():
-        num0 = imrow * mkrow
         for r in range(R):
-            ring_n[pl.ds(r, 1)] = num0
-            ring_m[pl.ds(r, 1)] = mkrow
+            ring_n[pl.ds(r, 1)] = numcur[0:1]
+            ring_m[pl.ds(r, 1)] = mkcur[0:1]
 
-    @pl.when(i > 0)
-    def _():
-        slot = jax.lax.rem(i, jnp.int32(R))
-        ring_n[pl.ds(slot, 1)] = imrow * mkrow
-        ring_m[pl.ds(slot, 1)] = mkrow
+    # unconditional: at step 0 this overwrites the just-seeded slots
+    # 0..bx-1 with the real block-0 rows (the seed only provides the
+    # negative-row clamp replicas)
+    base = jax.lax.rem(jnp.int32(i) * bx, jnp.int32(R))
+    ring_n[pl.ds(base, bx)] = app_n
+    ring_m[pl.ds(base, bx)] = app_m
 
-    t = i - rx  # the row whose smoothing completes this step
+    k = i - L  # the feature block emitted this step
 
     def read(ring, r):
-        # ring slot of row r (r may be negative during the prologue; its
+        # ring row of global row r (r may be negative in the prologue; its
         # slot still holds the row-0 seed, the correct clamp value)
         rr = jnp.int32(R)
         slot = jax.lax.rem(jax.lax.rem(jnp.int32(r), rr) + rr, rr)
         return ring[pl.ds(slot, 1)]
 
-    def xpass(ring):
+    def xpass_row(ring, t):
         acc = jnp.asarray(taps_x[0], dt) * read(ring, t - rx)
         for j in range(1, len(taps_x)):
             acc = acc + jnp.asarray(taps_x[j], dt) * read(ring, t - rx + j)
@@ -581,30 +588,36 @@ def _features8_sweep_kernel(im_ref, mk_ref, o0, o1, o2, o3, o4, o5, o6, o7,
         r = (len(taps) - 1) // 2
         acc = jnp.asarray(taps[r], dt) * a
         up, dn = a, a
-        for k in range(1, r + 1):
+        for kk in range(1, r + 1):
             up = shift(up, 1)
             dn = shift(dn, -1)
-            acc = acc + jnp.asarray(taps[r + k], dt) * up
-            acc = acc + jnp.asarray(taps[r - k], dt) * dn
+            acc = acc + jnp.asarray(taps[r + kk], dt) * up
+            acc = acc + jnp.asarray(taps[r - kk], dt) * dn
         return acc
 
     def smooth_yz(a):
         a = taps_1d(a, taps_y, _clamp_shift_y)
         return taps_1d(a, taps_z, _clamp_shift_z)
 
-    s_new = smooth_yz(xpass(ring_n)) / smooth_yz(xpass(ring_m))
+    # carried window shift: rows [k*bx-1, k*bx] are the last two of the
+    # previous step's window
+    s_carry[pl.ds(0, 1)] = s_carry[pl.ds(bx, 1)]
+    s_carry[pl.ds(1, 1)] = s_carry[pl.ds(bx + 1, 1)]
+    # complete the smoothing of bx new rows t = k*bx + 1 + sub
+    for sub in range(bx):
+        t = (jnp.int32(k)) * bx + 1 + sub
+        s_new = smooth_yz(xpass_row(ring_n, t)) / smooth_yz(
+            xpass_row(ring_m, t))
+        s_carry[pl.ds(2 + sub, 1)] = s_new
 
-    k = i - rx - 1  # the feature row emitted this step
-    # 3-row carried window: s3 = [s(k-1), s(k), s(k+1)] after the shift
-    sm = s3[0]
-    s0 = s3[1]
-    sp = s_new[0]
-    s3[0] = s0
-    s3[1] = sp
-
+    s = s_carry[:]  # (bx+2, Yp, Z): smoothed rows k*bx-1 .. k*bx+bx
+    sm = s[:-2]
+    s0 = s[1:-1]
+    sp = s[2:]
     # stencil phantom-row clamp at the true x faces (see docstring)
-    sm = jnp.where(k <= 0, s0, sm)
-    sp = jnp.where(k >= x_true - 1, s0, sp)
+    grow = jax.lax.broadcasted_iota(jnp.int32, s0.shape, 0) + k * bx
+    sm = jnp.where(grow <= 0, s0, sm)
+    sp = jnp.where(grow >= x_true - 1, s0, sp)
 
     r2x = jnp.asarray(1.0 / (2.0 * hx), dt)
     r2y = jnp.asarray(1.0 / (2.0 * hy), dt)
@@ -614,15 +627,14 @@ def _features8_sweep_kernel(im_ref, mk_ref, o0, o1, o2, o3, o4, o5, o6, o7,
     rzz = jnp.asarray(1.0 / (hz * hz), dt)
 
     dxx = (sp - 2 * s0 + sm) * rxx
-    s_yp = _clamp_shift_y(s0[None], 1)[0]
-    s_ym = _clamp_shift_y(s0[None], -1)[0]
+    s_yp = _clamp_shift_y(s0, 1)
+    s_ym = _clamp_shift_y(s0, -1)
     dyy = (s_yp - 2 * s0 + s_ym) * ryy
     s_zp = _clamp_shift_z(s0, 1)
     s_zm = _clamp_shift_z(s0, -1)
     dzz = (s_zp - 2 * s0 + s_zm) * rzz
     dx = (sp - sm) * r2x
-    dxy = (_clamp_shift_y(dx[None], 1)[0]
-           - _clamp_shift_y(dx[None], -1)[0]) * r2y
+    dxy = (_clamp_shift_y(dx, 1) - _clamp_shift_y(dx, -1)) * r2y
     dxz = (_clamp_shift_z(dx, 1) - _clamp_shift_z(dx, -1)) * r2z
     dy = (s_yp - s_ym) * r2y
     dyz = (_clamp_shift_z(dy, 1) - _clamp_shift_z(dy, -1)) * r2z
@@ -632,12 +644,14 @@ def _features8_sweep_kernel(im_ref, mk_ref, o0, o1, o2, o3, o4, o5, o6, o7,
     feats = eigenvalue_feature_channels(
         dxx, dxy, dxz, dyy, dyz, dzz, use_trig=False, diag_path=False
     )
-    inside = read(ring_m, k)[0] != 0
+    mrows = jnp.concatenate(
+        [read(ring_m, k * bx + r) for r in range(bx)], axis=0)
+    inside = mrows != 0
     zero = jnp.asarray(0, dt)
-    o0[:] = jnp.where(inside, s0, zero)[None]
-    o1[:] = jnp.where(inside, gm, zero)[None]
+    o0[:] = jnp.where(inside, s0, zero)
+    o1[:] = jnp.where(inside, gm, zero)
     for ref, val in zip((o2, o3, o4, o5, o6, o7), feats):
-        ref[:] = jnp.where(inside, val, zero)[None]
+        ref[:] = jnp.where(inside, val, zero)
 
 
 @functools.lru_cache(maxsize=256)
@@ -963,8 +977,8 @@ def fused_features8_post(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sigma", "spacing", "truncate", "interpret",
-                              "stack")
+    jax.jit, static_argnames=("sigma", "spacing", "truncate", "block",
+                              "interpret", "stack")
 )
 def fused_features8_sweep(
     image: jax.Array,
@@ -972,21 +986,22 @@ def fused_features8_sweep(
     sigma: float,
     spacing: Sequence[float] = (1.0, 1.0, 1.0),
     truncate: float = 4.5,
+    block: int = 2,
     interpret: bool = False,
     stack: bool = True,
 ):
     """Line-sweep features8: the ENTIRE pipeline (separable FIR smoothing,
     normalized-convolution divide, gradient/Hessian/eigen, masking) as one
-    Pallas pass that emits ONE x-row of all 8 channels per grid step,
+    Pallas pass that emits `block` x-rows of all 8 channels per grid step,
     with input rows held in a VMEM ring buffer (see
     _features8_sweep_kernel). HBM traffic = read image + mask once +
     write the 8 channels — no windows, no read amplification, no
     intermediates: the op's lower bound.
 
-    VMEM scales with the smoothing radius (2 rings of 2*rx+1 rows), so
-    this path serves radii where 2*(2*rx+1) rows of (Y, Z) fit — on a
-    512^2 slice that is rx <= ~16 (sigma <= ~2.8 at 0.78 mm spacing);
-    features8_auto falls back to the staged path beyond.
+    VMEM scales with the smoothing radius (2 rings of ~2*rx rows), so
+    this path serves radii where the rings fit next to the block pipeline
+    — on a 512^2 slice that is rx <= ~16 (sigma <= ~2.8 at 0.78 mm
+    spacing); features8_auto falls back to the staged path beyond.
 
     Returns (8, X, Y, Z) when stack=True, else a tuple of 8 arrays;
     jnp.moveaxis(out, 0, -1) matches ops.features.features8.
@@ -995,7 +1010,6 @@ def fused_features8_sweep(
     taps_x, rx = _smooth_taps(float(sigma), hx, float(truncate))
     taps_y, _ = _smooth_taps(float(sigma), hy, float(truncate))
     taps_z, _ = _smooth_taps(float(sigma), hz, float(truncate))
-    R = 2 * rx + 1
 
     X, Y, Zin = image.shape
     m = mask.astype(image.dtype)
@@ -1005,37 +1019,50 @@ def fused_features8_sweep(
         pads = ((0, 0), (0, Yp - Y), (0, Z - Zin))
         image = jnp.pad(image, pads, mode="edge")
         m = jnp.pad(m, pads, mode="edge")
+    bx = max(1, int(block))
+    Xp = -(-X // bx) * bx
+    if Xp != X:
+        # edge-replicate pad: outputs for the slack rows are sliced away,
+        # and the tail's clamp replica is still the true last row
+        image = jnp.pad(image, ((0, Xp - X), (0, 0), (0, 0)), mode="edge")
+        m = jnp.pad(m, ((0, Xp - X), (0, 0), (0, 0)), mode="edge")
+    n_blocks = Xp // bx
+    L = -(-(rx + 1) // bx)  # output lag in blocks
+    # ring size: multiple of bx, with 2 blocks of slack beyond the tap
+    # span so a seeded/old row is never overwritten before its last read
+    R = (-(-(2 * rx + 2) // bx) + 2) * bx
 
     kernel = functools.partial(
-        _features8_sweep_kernel, R=R, n=X, rx=rx, taps_x=taps_x,
-        taps_y=taps_y, taps_z=taps_z, hx=hx, hy=hy, hz=hz, x_true=X,
+        _features8_sweep_kernel, R=R, n_blocks=n_blocks, bx=bx, L=L, rx=rx,
+        taps_x=taps_x, taps_y=taps_y, taps_z=taps_z, hx=hx, hy=hy, hz=hz,
+        x_true=X,
     )
     in_spec = pl.BlockSpec(
-        (1, Yp, Z), lambda i: (jnp.minimum(i, X - 1), 0, 0),
+        (bx, Yp, Z), lambda i: (jnp.minimum(i, n_blocks - 1), 0, 0),
         memory_space=pltpu.VMEM,
     )
     out_spec = pl.BlockSpec(
-        (1, Yp, Z), lambda i: (jnp.maximum(i - rx - 1, 0), 0, 0),
+        (bx, Yp, Z), lambda i: (jnp.maximum(i - L, 0), 0, 0),
         memory_space=pltpu.VMEM,
     )
     outs = pl.pallas_call(
         kernel,
-        grid=(X + rx + 1,),
+        grid=(n_blocks + L,),
         in_specs=[in_spec, in_spec],
         out_specs=[out_spec] * 8,
-        out_shape=[jax.ShapeDtypeStruct((X, Yp, Z), image.dtype)] * 8,
+        out_shape=[jax.ShapeDtypeStruct((Xp, Yp, Z), image.dtype)] * 8,
         scratch_shapes=[
             pltpu.VMEM((R, Yp, Z), image.dtype),
             pltpu.VMEM((R, Yp, Z), image.dtype),
-            pltpu.VMEM((2, Yp, Z), image.dtype),
+            pltpu.VMEM((bx + 2, Yp, Z), image.dtype),
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT
         ),
         interpret=interpret,
     )(image, m)
-    if (Yp, Z) != (Y, Zin):
-        outs = [o[:, :Y, :Zin] for o in outs]
+    if (Xp, Yp, Z) != (X, Y, Zin):
+        outs = [o[:X, :Y, :Zin] for o in outs]
     if stack:
         return jnp.stack(outs, axis=0)
     return tuple(outs)

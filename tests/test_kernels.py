@@ -403,11 +403,15 @@ def test_sweep_fused_radius_larger_than_volume():
     _features8_channel_parity(_sweep(x, mask, 2.5), want, 1e-7)
 
 
-def test_sweep_fused_prime_extents():
+def test_sweep_fused_prime_extents_and_blocks():
     from ife_tpu.core.volume import sphere_mask
     from ife_tpu.ops.features import features8
 
     x = synthetic_ct((13, 11, 16), seed=7, dtype=jnp.float64).data
     mask = sphere_mask((13, 11, 16), 0.45).data
     want = np.asarray(features8(x, mask, 0.9, SPACING))
-    _features8_channel_parity(_sweep(x, mask, 0.9), want, 1e-7)
+    # prime X with several rows-per-step (exercises the grid pad, the
+    # block-0 ring append, and the tail clamp-replica broadcast)
+    for blk in (1, 2, 4):
+        _features8_channel_parity(_sweep(x, mask, 0.9, block=blk), want,
+                                  1e-7)
