@@ -986,13 +986,16 @@ def fused_features8_sweep(
     sigma: float,
     spacing: Sequence[float] = (1.0, 1.0, 1.0),
     truncate: float = 4.5,
-    block: int = 2,
+    block: int = 1,
     interpret: bool = False,
     stack: bool = True,
 ):
     """Line-sweep features8: the ENTIRE pipeline (separable FIR smoothing,
     normalized-convolution divide, gradient/Hessian/eigen, masking) as one
-    Pallas pass that emits `block` x-rows of all 8 channels per grid step,
+    Pallas pass that emits `block` x-rows of all 8 channels per grid step
+    (block=1 measures fastest at 512^3: 19.8 vs 24.1 ms for block=2 —
+    r3_batch6.txt; the multi-row variant does more ring-read/select work
+    per row than it saves in per-step overhead),
     with input rows held in a VMEM ring buffer (see
     _features8_sweep_kernel). HBM traffic = read image + mask once +
     write the 8 channels — no windows, no read amplification, no
