@@ -187,6 +187,14 @@ def verify_on_chip(shape=(128, 128, 128), sigma=1.0, spacing=(0.78, 0.78, 1.0)):
     return report
 
 
+def _dump(detail, out_path):
+    """Write the artifact after EVERY config: a TPU worker crash in a
+    later config (config4's scatter histogram killed the worker twice)
+    must not lose the measured results."""
+    with open(out_path, "w") as fobj:
+        json.dump(detail, fobj, indent=1)
+
+
 def bench_all(out_path="BENCH_DETAIL.json"):
     """BASELINE.md configs 1-4 measured end-to-end; written as one JSON
     artifact (config 5, >=2 hosts, is covered by tests/test_multiprocess.py
@@ -219,6 +227,7 @@ def bench_all(out_path="BENCH_DETAIL.json"):
     dt = _loop_time(lambda h: eig_pass(h), H, inner=64)
     detail["config1_eigen_64cubed_voxels_per_sec"] = round(64 ** 3 / dt, 1)
     print("config1 done:", detail, file=sys.stderr, flush=True)
+    _dump(detail, out_path)
 
     # config 2: single-scale Hessian features + eigen, 128^3
     x128 = jax.random.normal(key, (128, 128, 128), jnp.float32)
@@ -227,6 +236,7 @@ def bench_all(out_path="BENCH_DETAIL.json"):
     dt = _loop_time(fn2, x128)
     detail["config2_hessian_eig_128cubed_voxels_per_sec"] = round(128 ** 3 / dt, 1)
     print("config2 done:", detail, file=sys.stderr, flush=True)
+    _dump(detail, out_path)
 
     # config 3: multi-scale (4 sigma) features8, 256^3 synthetic CT.
     # The mask is a jit PARAMETER of the timing loop (closing over a big
@@ -258,6 +268,7 @@ def bench_all(out_path="BENCH_DETAIL.json"):
         float(np.prod(shape3)) * len(scales) / dt, 1)
     detail["config3_shape"] = list(shape3)
     print("config3 done:", detail, file=sys.stderr, flush=True)
+    _dump(detail, out_path)
 
     # config 4: features8 + device histograms at 512^3 (the make-bag /
     # bin-edges on-device stage), loop-amortized like the rest
@@ -283,6 +294,7 @@ def bench_all(out_path="BENCH_DETAIL.json"):
         float(np.prod(shape4)) / dt, 1)
     detail["config4_shape"] = list(shape4)
     print("config4 done:", detail, file=sys.stderr, flush=True)
+    _dump(detail, out_path)
 
     if on_tpu:
         detail["verify_on_chip"] = verify_on_chip()

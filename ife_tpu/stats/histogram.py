@@ -45,11 +45,32 @@ def histogram_counts(
       (E+1,) int32 counts.
     """
     v = values.reshape(-1)
-    idx = jnp.searchsorted(edges, v, side="left")
     if weights is None:
         w = jnp.ones_like(v, dtype=jnp.int32)
     else:
         w = weights.reshape(-1).astype(jnp.int32)
+    # Large inputs go through a lax.scan over fixed-size chunks: one
+    # whole-volume scatter materializes the full index array plus the
+    # scatter lowering's sort temporaries at once — at 512^3 alongside a
+    # feature pass that contributed to TPU-worker OOM crashes (bench
+    # config 4). The chunked form bounds the temporaries to one chunk and
+    # is bit-identical (int32 adds commute).
+    chunk = 1 << 22
+    if v.shape[0] > chunk:
+        pad = (-v.shape[0]) % chunk
+        # pad weights with 0: padded lanes never count
+        vc = jnp.pad(v, (0, pad)).reshape(-1, chunk)
+        wc = jnp.pad(w, (0, pad)).reshape(-1, chunk)
+
+        def body(acc, args):
+            vv, ww = args
+            idx = jnp.searchsorted(edges, vv, side="left")
+            return acc.at[idx].add(ww), None
+
+        acc0 = jnp.zeros(edges.shape[0] + 1, jnp.int32)
+        out, _ = jax.lax.scan(body, acc0, (vc, wc))
+        return out
+    idx = jnp.searchsorted(edges, v, side="left")
     return jnp.zeros(edges.shape[0] + 1, jnp.int32).at[idx].add(w)
 
 
