@@ -183,7 +183,7 @@ def conf_masked_normalized_convolution(p):
 def run_masked_normalized_convolution(args):
     """Reference tools/MaskedNormalizedConvolution.cxx:141-203."""
     import jax.numpy as jnp
-    from ife_tpu.ops.stencil import normalized_gaussian_convolution
+    from ife_tpu.ops.features import normalized_convolution_auto
 
     vol = _load(args.image)
     cert = _load(args.certainty)
@@ -191,7 +191,7 @@ def run_masked_normalized_convolution(args):
     c = jnp.asarray(cert.data, jnp.float32)
     for s in args.scales:
         _progress(f"Processing scale {s:g}")
-        out = normalized_gaussian_convolution(img, c, float(s), vol.spacing)
+        out = normalized_convolution_auto(img, c, float(s), vol.spacing)
         if args.mask_output:
             out = jnp.where(c != 0, out, 0.0)
         else:

@@ -654,6 +654,132 @@ def _features8_sweep_kernel(im_ref, mk_ref, o0, o1, o2, o3, o4, o5, o6, o7,
         ref[:] = jnp.where(inside, val, zero)
 
 
+def _nc_sweep_kernel(im_ref, mk_ref, o_ref, ring_n, ring_m, *, R, n_blocks,
+                     rx, taps_x, taps_y, taps_z):
+    """Line-sweep normalized Gaussian convolution: one smoothed row per
+    grid step, straight from the raw image + mask. The sweep-features8
+    kernel minus the stencil/eigen tail: input rows ring-buffered in VMEM,
+    x taps as dynamic ring reads, y/z taps as edge-clamped shifts on the
+    full-extent row, the no-epsilon divide
+    (NormalizedGaussianConvolutionImageFilter.hxx:40-63), and a lagged
+    output index map (step i emits row i - rx). HBM traffic = read
+    image + mask once + write s: 3 volumes, vs 8 for the staged
+    6-MXU-pass + divide pipeline."""
+    i = pl.program_id(0)
+    dt = im_ref.dtype
+
+    mkcur = jnp.clip(mk_ref[:], 0, 1)
+    numcur = im_ref[:] * mkcur
+
+    @pl.when(i == 0)
+    def _():
+        for r in range(R):
+            ring_n[pl.ds(r, 1)] = numcur[0:1]
+            ring_m[pl.ds(r, 1)] = mkcur[0:1]
+
+    # unconditional: overwrites the seeded slot with the real row (blocks
+    # past the end re-read the last row — already the clamp replica)
+    base = jax.lax.rem(jnp.int32(i), jnp.int32(R))
+    ring_n[pl.ds(base, 1)] = numcur
+    ring_m[pl.ds(base, 1)] = mkcur
+
+    t = i - rx  # the smoothed row emitted this step
+
+    def read(ring, r):
+        rr = jnp.int32(R)
+        slot = jax.lax.rem(jax.lax.rem(jnp.int32(r), rr) + rr, rr)
+        return ring[pl.ds(slot, 1)]
+
+    def xpass(ring):
+        acc = jnp.asarray(taps_x[0], dt) * read(ring, t - rx)
+        for j in range(1, len(taps_x)):
+            acc = acc + jnp.asarray(taps_x[j], dt) * read(ring, t - rx + j)
+        return acc
+
+    def taps_1d(a, taps, shift):
+        r = (len(taps) - 1) // 2
+        acc = jnp.asarray(taps[r], dt) * a
+        up, dn = a, a
+        for kk in range(1, r + 1):
+            up = shift(up, 1)
+            dn = shift(dn, -1)
+            acc = acc + jnp.asarray(taps[r + kk], dt) * up
+            acc = acc + jnp.asarray(taps[r - kk], dt) * dn
+        return acc
+
+    def smooth_yz(a):
+        a = taps_1d(a, taps_y, _clamp_shift_y)
+        return taps_1d(a, taps_z, _clamp_shift_z)
+
+    o_ref[:] = smooth_yz(xpass(ring_n)) / smooth_yz(xpass(ring_m))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sigma", "spacing", "truncate", "interpret")
+)
+def fused_normalized_conv_sweep(
+    image: jax.Array,
+    mask: jax.Array,
+    sigma: float,
+    spacing: Sequence[float] = (1.0, 1.0, 1.0),
+    truncate: float = 4.5,
+    interpret: bool = False,
+):
+    """Masked (normalized) Gaussian convolution as ONE line-sweep Pallas
+    pass: out = G_sigma*(mask*image) / G_sigma*mask with ZeroFluxNeumann
+    boundaries, read image+mask once, write s once (3 volumes of HBM
+    traffic vs 8 for the staged 6-pass MXU pipeline). Semantics: reference
+    NormalizedGaussianConvolutionImageFilter.hxx:40-63; the no-epsilon
+    divide's nan/inf lives only outside the mask support, exactly like
+    the reference. Serves sigma where the two input rings fit VMEM
+    (sigma <= ~4 at 0.78 mm spacing on a 512^2 slice)."""
+    hx, hy, hz = (float(v) for v in spacing)
+    taps_x, rx = _smooth_taps(float(sigma), hx, float(truncate))
+    taps_y, _ = _smooth_taps(float(sigma), hy, float(truncate))
+    taps_z, _ = _smooth_taps(float(sigma), hz, float(truncate))
+
+    X, Y, Zin = image.shape
+    m = mask.astype(image.dtype)
+    Z = Zin if interpret else -(-Zin // 128) * 128
+    Yp = Y if interpret else -(-Y // 8) * 8
+    if (Yp, Z) != (Y, Zin):
+        pads = ((0, 0), (0, Yp - Y), (0, Z - Zin))
+        image = jnp.pad(image, pads, mode="edge")
+        m = jnp.pad(m, pads, mode="edge")
+    R = 2 * rx + 3
+
+    kernel = functools.partial(
+        _nc_sweep_kernel, R=R, n_blocks=X, rx=rx, taps_x=taps_x,
+        taps_y=taps_y, taps_z=taps_z,
+    )
+    in_spec = pl.BlockSpec(
+        (1, Yp, Z), lambda i: (jnp.minimum(i, X - 1), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (1, Yp, Z), lambda i: (jnp.maximum(i - rx, 0), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(X + rx,),
+        in_specs=[in_spec, in_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((X, Yp, Z), image.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((R, Yp, Z), image.dtype),
+            pltpu.VMEM((R, Yp, Z), image.dtype),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(image, m)
+    if (Yp, Z) != (Y, Zin):
+        out = out[:, :Y, :Zin]
+    return out
+
+
 @functools.lru_cache(maxsize=256)
 def _smooth_taps(sigma: float, spacing: float, truncate: float):
     """(taps tuple, radius) for one axis; sigma<=0 -> identity."""
@@ -888,9 +1014,22 @@ def fused_features8(
     from ife_tpu.ops.stencil import normalized_gaussian_convolution
 
     m = jnp.clip(mask, 0, 1)
-    s = normalized_gaussian_convolution(
-        image, m.astype(image.dtype), sigma, spacing, truncate
-    )
+    use_nc_sweep = False
+    if not interpret and jax.devices()[0].platform == "tpu":
+        from ife_tpu.ops.features import _nc_sweep_fits
+
+        use_nc_sweep = _nc_sweep_fits(sigma, spacing, image.shape, truncate)
+    if use_nc_sweep:
+        # smoothing as one line-sweep pass (3 volumes of traffic) instead
+        # of 6 MXU passes + divide (8) — serves the staged path's sigma
+        # range up to ~4.2 at 0.78 mm on a 512^2 slice
+        s = fused_normalized_conv_sweep(
+            image, m.astype(image.dtype), sigma, spacing, truncate
+        )
+    else:
+        s = normalized_gaussian_convolution(
+            image, m.astype(image.dtype), sigma, spacing, truncate
+        )
     return fused_features8_post(
         s, m, spacing, block=block, interpret=interpret, stack=stack
     )

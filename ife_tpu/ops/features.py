@@ -124,6 +124,40 @@ def _sweep_fits(sigma, spacing, shape, truncate=4.5):
     return 2 * (2 * rx + 1) * Yp * Z * 4 <= _SWEEP_RING_BUDGET
 
 
+# the smoothing-only sweep has no output-block pipeline to feed, so its
+# rings can be larger (sigma <= ~4.2 at 0.78 mm on a 512^2 slice)
+_NC_RING_BUDGET = 90 * 1024 * 1024
+
+
+def _nc_sweep_fits(sigma, spacing, shape, truncate=4.5):
+    import math
+
+    rx = max(1, math.ceil(truncate * float(sigma) / float(spacing[0])))
+    Yp = -(-shape[1] // 8) * 8
+    Z = -(-shape[2] // 128) * 128
+    return 2 * (2 * rx + 3) * Yp * Z * 4 <= _NC_RING_BUDGET
+
+
+def normalized_convolution_auto(image, mask, sigma, spacing=(1.0, 1.0, 1.0),
+                                truncate=4.5):
+    """Masked (normalized) Gaussian convolution with TPU dispatch: the
+    line-sweep kernel (3 volumes of HBM traffic) where its rings fit,
+    the staged MXU path elsewhere. Semantics: reference
+    NormalizedGaussianConvolutionImageFilter.hxx:40-63 (certainty = the
+    clamped mask)."""
+    from ife_tpu.ops.stencil import normalized_gaussian_convolution
+
+    c = clamp_mask(mask).astype(image.dtype)
+    if (jax.devices()[0].platform == "tpu" and image.ndim == 3
+            and _nc_sweep_fits(sigma, spacing, image.shape, truncate)):
+        from ife_tpu.kernels.fused import fused_normalized_conv_sweep
+
+        return fused_normalized_conv_sweep(
+            image, c, float(sigma), tuple(spacing), truncate)
+    return normalized_gaussian_convolution(
+        image, c, float(sigma), tuple(spacing), truncate)
+
+
 def features8_auto(image, mask, sigma, spacing=(1.0, 1.0, 1.0), truncate=4.5):
     """features8 with automatic backend dispatch on TPU; the XLA-composed
     expression elsewhere. Returns (X, Y, Z, 8) either way.

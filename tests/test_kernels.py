@@ -415,3 +415,23 @@ def test_sweep_fused_prime_extents_and_blocks():
     for blk in (1, 2, 4):
         _features8_channel_parity(_sweep(x, mask, 0.9, block=blk), want,
                                   1e-7)
+
+
+def test_nc_sweep_matches_staged_normalized_conv():
+    # the smoothing-only line sweep vs the staged separable path; compare
+    # inside the mask support (the no-epsilon divide is nan outside in
+    # BOTH, like the reference)
+    from ife_tpu.core.volume import sphere_mask
+    from ife_tpu.kernels.fused import fused_normalized_conv_sweep
+    from ife_tpu.ops.stencil import normalized_gaussian_convolution
+
+    for shape, sigma in [((16, 16, 16), 1.1), ((13, 11, 16), 0.9),
+                         ((16, 16, 16), 2.5)]:
+        x = synthetic_ct(shape, seed=9, dtype=jnp.float64).data
+        m = sphere_mask(shape, 0.45).data.astype(jnp.float64)
+        got = np.asarray(fused_normalized_conv_sweep(
+            x, m, sigma, SPACING, interpret=True))
+        want = np.asarray(normalized_gaussian_convolution(
+            x, m, sigma, SPACING))
+        inside = np.asarray(m) > 0
+        assert np.abs(got - want)[inside].max() < 1e-9, (shape, sigma)
