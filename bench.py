@@ -195,16 +195,28 @@ def _dump(detail, out_path):
         json.dump(detail, fobj, indent=1)
 
 
-def bench_all(out_path="BENCH_DETAIL.json"):
+def bench_all(out_path="BENCH_DETAIL.json", resume=False):
     """BASELINE.md configs 1-4 measured end-to-end; written as one JSON
-    artifact (config 5, >=2 hosts, is covered by tests/test_multiprocess.py
-    and benchmarks/scaling.py — one physical chip is reachable here)."""
+    artifact after EVERY config (config 5, >=2 hosts, is covered by
+    tests/test_multiprocess.py and benchmarks/scaling.py — one physical
+    chip is reachable here). resume=True: reload an existing artifact and
+    only run configs it is missing (TPU-worker crashes in one config must
+    not force re-measuring the others)."""
     import jax
     import jax.numpy as jnp
 
     platform, kind = _device_kind()
     on_tpu = platform == "tpu"
     detail = {"device": kind, "platform": platform}
+    if resume:
+        try:
+            with open(out_path) as fobj:
+                detail.update(json.load(fobj))
+        except Exception:
+            pass
+
+    def have(n):
+        return resume and any(k.startswith(f"config{n}_") for k in detail)
 
     from ife_tpu.ops.eigen import eigenvalue_features
     from ife_tpu.ops.features import features8, _sweep_fits
@@ -218,34 +230,27 @@ def bench_all(out_path="BENCH_DETAIL.json"):
     # config 1: eigen solver on a synthetic 64^3 Hessian field. The eigen
     # output is (..., 6); feed channel 0 back as all six inputs for the
     # serial dependence.
-    H = jax.random.normal(key, (64, 64, 64, 6), jnp.float32)
+    if not have(1):
+        H = jax.random.normal(key, (64, 64, 64, 6), jnp.float32)
 
-    def eig_pass(h):
-        e = eigenvalue_features(h)
-        return jnp.broadcast_to(e[..., :1], h.shape)
+        def eig_pass(h):
+            e = eigenvalue_features(h)
+            return jnp.broadcast_to(e[..., :1], h.shape)
 
-    dt = _loop_time(lambda h: eig_pass(h), H, inner=64)
-    detail["config1_eigen_64cubed_voxels_per_sec"] = round(64 ** 3 / dt, 1)
-    print("config1 done:", detail, file=sys.stderr, flush=True)
-    _dump(detail, out_path)
+        dt = _loop_time(lambda h: eig_pass(h), H, inner=64)
+        detail["config1_eigen_64cubed_voxels_per_sec"] = round(64 ** 3 / dt, 1)
+        print("config1 done:", detail, file=sys.stderr, flush=True)
+        _dump(detail, out_path)
 
     # config 2: single-scale Hessian features + eigen, 128^3
-    x128 = jax.random.normal(key, (128, 128, 128), jnp.float32)
-    fn2 = (lambda v: fused_hessian_eig_stream(v, (0.78, 0.78, 1.0), block=2, stack=False)[0]) \
-        if on_tpu else (lambda v: hessian_eig_features(v, (0.78, 0.78, 1.0))[..., 0])
-    dt = _loop_time(fn2, x128)
-    detail["config2_hessian_eig_128cubed_voxels_per_sec"] = round(128 ** 3 / dt, 1)
-    print("config2 done:", detail, file=sys.stderr, flush=True)
-    _dump(detail, out_path)
-
-    # config 3: multi-scale (4 sigma) features8, 256^3 synthetic CT.
-    # The mask is a jit PARAMETER of the timing loop (closing over a big
-    # device array embeds it in the compile payload -> HTTP 413).
-    shape3 = (256, 256, 256) if on_tpu else (64, 64, 64)
-    x256 = jax.random.normal(key, shape3, jnp.float32) * 200.0 - 600.0
-    m256 = (jax.random.uniform(jax.random.PRNGKey(1), shape3) > 0.25).astype(
-        jnp.float32)
-    scales = (0.6, 1.2, 2.4, 4.8)
+    if not have(2):
+        x128 = jax.random.normal(key, (128, 128, 128), jnp.float32)
+        fn2 = (lambda v: fused_hessian_eig_stream(v, (0.78, 0.78, 1.0), block=2, stack=False)[0]) \
+            if on_tpu else (lambda v: hessian_eig_features(v, (0.78, 0.78, 1.0))[..., 0])
+        dt = _loop_time(fn2, x128)
+        detail["config2_hessian_eig_128cubed_voxels_per_sec"] = round(128 ** 3 / dt, 1)
+        print("config2 done:", detail, file=sys.stderr, flush=True)
+        _dump(detail, out_path)
 
     spc = (0.78, 0.78, 1.0)
 
@@ -259,16 +264,26 @@ def bench_all(out_path="BENCH_DETAIL.json"):
              else fused_features8)
         return k(v, m, s, spc, stack=False)
 
-    def multi(v, m):
-        outs = [one_scale8(v, m, s)[0] for s in scales]
-        return jnp.stack(outs, 0).sum(0)
+    if not have(3):
+        # config 3: multi-scale (4 sigma) features8, 256^3 synthetic CT.
+        # The mask is a jit PARAMETER of the timing loop (closing over a big
+        # device array embeds it in the compile payload -> HTTP 413).
+        shape3 = (256, 256, 256) if on_tpu else (64, 64, 64)
+        x256 = jax.random.normal(key, shape3, jnp.float32) * 200.0 - 600.0
+        m256 = (jax.random.uniform(jax.random.PRNGKey(1), shape3) > 0.25).astype(
+            jnp.float32)
+        scales = (0.6, 1.2, 2.4, 4.8)
 
-    dt = _loop_time(multi, x256, m256, inner=12)
-    detail["config3_multiscale4_features8_voxels_per_sec"] = round(
-        float(np.prod(shape3)) * len(scales) / dt, 1)
-    detail["config3_shape"] = list(shape3)
-    print("config3 done:", detail, file=sys.stderr, flush=True)
-    _dump(detail, out_path)
+        def multi(v, m):
+            outs = [one_scale8(v, m, s)[0] for s in scales]
+            return jnp.stack(outs, 0).sum(0)
+
+        dt = _loop_time(multi, x256, m256, inner=12)
+        detail["config3_multiscale4_features8_voxels_per_sec"] = round(
+            float(np.prod(shape3)) * len(scales) / dt, 1)
+        detail["config3_shape"] = list(shape3)
+        print("config3 done:", detail, file=sys.stderr, flush=True)
+        _dump(detail, out_path)
 
     # config 4: features8 + device histograms at 512^3 (the make-bag /
     # bin-edges on-device stage), loop-amortized like the rest
@@ -282,9 +297,11 @@ def bench_all(out_path="BENCH_DETAIL.json"):
 
     def bag_stats(v, m, e):
         f8 = one_scale8(v, m, 1.0)
+        # hoist the int32 weight conversion: 8 per-channel conversions are
+        # 8 live 0.5 GB arrays at 512^3 (part of the worker-OOM budget)
+        w = m.ravel().astype(jnp.int32)
         counts = jnp.stack([
-            histogram_counts(f8[c].ravel(), e,
-                             weights=m.ravel()) for c in range(8)
+            histogram_counts(f8[c].ravel(), e, weights=w) for c in range(8)
         ])
         # serial dependence: perturb the image by a data-dependent scalar
         return v + counts.sum().astype(v.dtype) * jnp.asarray(0.0, v.dtype)
@@ -309,7 +326,7 @@ def main():
         print(json.dumps({"verify": "ok", **report}))
         return
     if "--all" in sys.argv:
-        bench_all()
+        bench_all(resume="--resume" in sys.argv)
         return
     platform, kind = _device_kind()
     shape = (512, 512, 512) if platform == "tpu" else (128, 128, 128)
