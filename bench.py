@@ -285,36 +285,45 @@ def bench_all(out_path="BENCH_DETAIL.json", resume=False):
         print("config3 done:", detail, file=sys.stderr, flush=True)
         _dump(detail, out_path)
 
-    # config 4: features8 + device histograms at 512^3 (the make-bag /
-    # bin-edges on-device stage), loop-amortized like the rest
-    shape4 = (512, 512, 512) if on_tpu else (64, 64, 64)
-    x512 = jax.random.normal(key, shape4, jnp.float32) * 200.0 - 600.0
-    m512 = (jax.random.uniform(jax.random.PRNGKey(2), shape4) > 0.25).astype(
-        jnp.float32)
-    from ife_tpu.stats.histogram import histogram_counts
-
-    edges = jnp.linspace(-1200.0, 600.0, 31)
-
-    def bag_stats(v, m, e):
-        f8 = one_scale8(v, m, 1.0)
-        # hoist the int32 weight conversion: 8 per-channel conversions are
-        # 8 live 0.5 GB arrays at 512^3 (part of the worker-OOM budget)
-        w = m.ravel().astype(jnp.int32)
-        counts = jnp.stack([
-            histogram_counts(f8[c].ravel(), e, weights=w) for c in range(8)
-        ])
-        # serial dependence: perturb the image by a data-dependent scalar
-        return v + counts.sum().astype(v.dtype) * jnp.asarray(0.0, v.dtype)
-
-    dt = _loop_time(bag_stats, x512, m512, edges, inner=12)
-    detail["config4_features_plus_hist_512cubed_voxels_per_sec"] = round(
-        float(np.prod(shape4)) / dt, 1)
-    detail["config4_shape"] = list(shape4)
-    print("config4 done:", detail, file=sys.stderr, flush=True)
-    _dump(detail, out_path)
-
-    if on_tpu:
+    if on_tpu and (not resume or "verify_on_chip" not in detail):
+        # verify BEFORE config 4: a TPU-worker crash there must not cost
+        # the parity record
         detail["verify_on_chip"] = verify_on_chip()
+        _dump(detail, out_path)
+    if not have(4):
+        try:
+            # config 4: features8 + device histograms at 512^3 (the make-bag /
+            # bin-edges on-device stage), loop-amortized like the rest
+            shape4 = (512, 512, 512) if on_tpu else (64, 64, 64)
+            x512 = jax.random.normal(key, shape4, jnp.float32) * 200.0 - 600.0
+            m512 = (jax.random.uniform(jax.random.PRNGKey(2), shape4) > 0.25).astype(
+                jnp.float32)
+            from ife_tpu.stats.histogram import histogram_counts
+
+            edges = jnp.linspace(-1200.0, 600.0, 31)
+
+            def bag_stats(v, m, e):
+                f8 = one_scale8(v, m, 1.0)
+                # hoist the int32 weight conversion: 8 per-channel conversions are
+                # 8 live 0.5 GB arrays at 512^3 (part of the worker-OOM budget)
+                w = m.ravel().astype(jnp.int32)
+                counts = jnp.stack([
+                    histogram_counts(f8[c].ravel(), e, weights=w) for c in range(8)
+                ])
+                # serial dependence: perturb the image by a data-dependent scalar
+                return v + counts.sum().astype(v.dtype) * jnp.asarray(0.0, v.dtype)
+
+            dt = _loop_time(bag_stats, x512, m512, edges, inner=12)
+            detail["config4_features_plus_hist_512cubed_voxels_per_sec"] = round(
+                float(np.prod(shape4)) / dt, 1)
+            detail["config4_shape"] = list(shape4)
+            print("config4 done:", detail, file=sys.stderr, flush=True)
+            _dump(detail, out_path)
+        except Exception as e:  # worker crashes must not lose the artifact
+            detail["config4_error"] = f"{type(e).__name__}: {str(e)[:160]}"
+            _dump(detail, out_path)
+            print(json.dumps(detail))
+            return
     with open(out_path, "w") as fobj:
         json.dump(detail, fobj, indent=1)
     print(json.dumps(detail))
