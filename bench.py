@@ -302,20 +302,37 @@ def bench_all(out_path="BENCH_DETAIL.json", resume=False):
 
             edges = jnp.linspace(-1200.0, 600.0, 31)
 
-            def bag_stats(v, m, e):
-                f8 = one_scale8(v, m, 1.0)
-                # hoist the int32 weight conversion: 8 per-channel conversions are
-                # 8 live 0.5 GB arrays at 512^3 (part of the worker-OOM budget)
-                w = m.ravel().astype(jnp.int32)
-                counts = jnp.stack([
-                    histogram_counts(f8[c].ravel(), e, weights=w) for c in range(8)
-                ])
-                # serial dependence: perturb the image by a data-dependent scalar
-                return v + counts.sum().astype(v.dtype) * jnp.asarray(0.0, v.dtype)
+            # The features pass and the histogram stage are timed as
+            # SEPARATE device programs and summed: that is how the product
+            # executes them (determine-bin-edges materializes the feature
+            # volumes, then bins them), and composing them into one jit
+            # repeatedly crashed the TPU worker (three runs) while each
+            # stage runs clean standalone.
+            def feat_pass(v, m):
+                return one_scale8(v, m, 1.0)[0]
 
-            dt = _loop_time(bag_stats, x512, m512, edges, inner=12)
-            detail["config4_features_plus_hist_512cubed_voxels_per_sec"] = round(
-                float(np.prod(shape4)) / dt, 1)
+            dt_feat = _loop_time(feat_pass, x512, m512, inner=12)
+
+            f8 = one_scale8(x512, m512, 1.0)
+            f8 = [jnp.asarray(c) for c in f8]
+            w512 = m512.ravel().astype(jnp.int32)
+
+            def hist8(v, w, e, *chans):
+                counts = jnp.stack(
+                    [histogram_counts(c.ravel(), e, weights=w)
+                     for c in chans]
+                    + [histogram_counts(v.ravel(), e, weights=w)]
+                )
+                return v + counts.sum().astype(v.dtype) * jnp.asarray(
+                    0.0, v.dtype)
+
+            dt_hist = _loop_time(hist8, f8[0], w512, edges, *f8[1:],
+                                 inner=12)
+            dt = dt_feat + dt_hist
+            detail["config4_feat_ms"] = round(dt_feat * 1e3, 2)
+            detail["config4_hist_ms"] = round(dt_hist * 1e3, 2)
+            detail["config4_features_plus_hist_512cubed_voxels_per_sec"] = \
+                round(float(np.prod(shape4)) / dt, 1)
             detail["config4_shape"] = list(shape4)
             print("config4 done:", detail, file=sys.stderr, flush=True)
             _dump(detail, out_path)
