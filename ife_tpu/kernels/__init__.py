@@ -9,6 +9,15 @@ feature channels — the memory-bound speed-of-light path.
 """
 from ife_tpu.kernels.fused import (  # noqa: F401
     fused_features8,
-    fused_features8_xs,
+    fused_features8_post,
+    fused_features8_sweep,
     fused_hessian_eig,
+    fused_hessian_eig_stream,
+    fused_normalized_conv_sweep,
 )
+
+# NOT exported: fused_features8_xs / fused_features8_tap — intermediate
+# rungs of the fusion ladder (docs/design.md), superseded by
+# fused_features8_sweep and dispatched by nothing. They remain importable
+# from ife_tpu.kernels.fused for the record (they were measured and
+# verified on chip) but are not public API.

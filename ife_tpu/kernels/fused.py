@@ -654,7 +654,7 @@ def _features8_sweep_kernel(im_ref, mk_ref, o0, o1, o2, o3, o4, o5, o6, o7,
         ref[:] = jnp.where(inside, val, zero)
 
 
-def _nc_sweep_kernel(im_ref, mk_ref, o_ref, ring_n, ring_m, *, R, n_blocks,
+def _nc_sweep_kernel(im_ref, mk_ref, o_ref, ring_n, ring_m, *, R,
                      rx, taps_x, taps_y, taps_z):
     """Line-sweep normalized Gaussian convolution: one smoothed row per
     grid step, straight from the raw image + mask. The sweep-features8
@@ -668,7 +668,11 @@ def _nc_sweep_kernel(im_ref, mk_ref, o_ref, ring_n, ring_m, *, R, n_blocks,
     i = pl.program_id(0)
     dt = im_ref.dtype
 
-    mkcur = jnp.clip(mk_ref[:], 0, 1)
+    # certainty used RAW — no clip: the reference filter consumes the
+    # certainty image as given (NormalizedGaussianConvolutionImageFilter
+    # .hxx:40-63); the features8 callers clamp before calling, matching
+    # the reference's own ClampImageFilter placement
+    mkcur = mk_ref[:]
     numcur = im_ref[:] * mkcur
 
     @pl.when(i == 0)
@@ -749,7 +753,7 @@ def fused_normalized_conv_sweep(
     R = 2 * rx + 3
 
     kernel = functools.partial(
-        _nc_sweep_kernel, R=R, n_blocks=X, rx=rx, taps_x=taps_x,
+        _nc_sweep_kernel, R=R, rx=rx, taps_x=taps_x,
         taps_y=taps_y, taps_z=taps_z,
     )
     in_spec = pl.BlockSpec(
@@ -829,7 +833,7 @@ def _pick_n_buf(bx: int, by: int, wy: int, Z: int, n_out: int,
 
 @functools.partial(
     jax.jit, static_argnames=("spacing", "block", "interpret", "stack",
-                              "pre_padded", "variant", "n_buf", "dims")
+                              "pre_padded", "variant", "n_buf")
 )
 def fused_hessian_eig(
     x: jax.Array,
@@ -840,7 +844,6 @@ def fused_hessian_eig(
     pre_padded: bool = False,
     variant: str = "concat",
     n_buf: int | None = None,
-    dims: Sequence[str] | None = None,
 ):
     """Six eigen features of the Hessian in one fused HBM pass.
 
@@ -913,9 +916,11 @@ def fused_hessian_eig(
             pltpu.VMEM((n_buf, bx + 2, wy, Z), x.dtype),
             pltpu.SemaphoreType.DMA((n_buf,)),
         ],
+        # no dimension_semantics knob: the grid carries cross-step manual-DMA
+        # scheduling and a 'parallel' annotation would let Mosaic reorder
+        # steps; probes use their own local pallas_call for that experiment
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT,
-            dimension_semantics=None if dims is None else tuple(dims),
         ),
         interpret=interpret,
     )(xp)
@@ -1226,7 +1231,12 @@ def fused_features8_tap(
     variant: str = "concat",
     n_buf: int | None = None,
 ):
-    """features8 in ONE Pallas pass: the whole separable FIR smoothing
+    """SUPERSEDED by fused_features8_sweep (same full fusion, ring-buffer
+    streaming instead of halo windows: 19.1 vs 31.1 ms at 512^3 sigma=1.0
+    — docs/design.md ladder table). Kept for the record (measured and
+    on-chip-verified); dispatched by nothing.
+
+    features8 in ONE Pallas pass: the whole separable FIR smoothing
     (all three axes), the normalized-convolution divide, and the
     gradient/Hessian/eigen/mask chain, straight from the raw image + mask.
 
@@ -1342,7 +1352,11 @@ def fused_features8_xs(
     stack: bool = True,
     variant: str = "concat",
 ):
-    """features8 with smoothing split across its cheapest units: y and z
+    """SUPERSEDED by fused_features8_sweep (docs/design.md ladder table:
+    44.3 ms vs the sweep's 19.1 at 512^3 sigma=1.0). Kept for the record;
+    dispatched by nothing.
+
+    features8 with smoothing split across its cheapest units: y and z
     Gaussian passes ride the XLA blocked-band MXU einsums (2 passes each
     for numerator and denominator), while the x pass, the normalized-
     convolution divide, and the whole gradient/Hessian/eigen/mask chain

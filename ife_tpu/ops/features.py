@@ -94,20 +94,6 @@ def features8_jit(image, mask, *, sigma, spacing=(1.0, 1.0, 1.0), truncate=4.5):
     return features8(image, mask, sigma, spacing, truncate)
 
 
-def _tap_radius_ok(sigma, spacing, truncate=4.5):
-    """True when the all-in-kernel tap path handles this scale well: the
-    halo windows (and the unrolled in-kernel tap chains) grow with the
-    smoothing radius — beyond ~8 voxels the window read amplification
-    erodes the win and the Mosaic register allocator starts spilling
-    (sigma=2.4 at 0.78 mm spacing failed to compile at 512^3)."""
-    import math
-
-    for h in spacing[:2]:
-        if math.ceil(truncate * float(sigma) / float(h)) > 8:
-            return False
-    return True
-
-
 # the line-sweep kernel's two input ring buffers must fit in VMEM next to
 # the block pipeline: 2 * (2*rx+1) rows of (Y, Z) f32
 _SWEEP_RING_BUDGET = 60 * 1024 * 1024
@@ -138,16 +124,23 @@ def _nc_sweep_fits(sigma, spacing, shape, truncate=4.5):
     return 2 * (2 * rx + 3) * Yp * Z * 4 <= _NC_RING_BUDGET
 
 
-def normalized_convolution_auto(image, mask, sigma, spacing=(1.0, 1.0, 1.0),
-                                truncate=4.5):
+def normalized_convolution_auto(image, certainty, sigma,
+                                spacing=(1.0, 1.0, 1.0), truncate=4.5):
     """Masked (normalized) Gaussian convolution with TPU dispatch: the
     line-sweep kernel (3 volumes of HBM traffic) where its rings fit,
-    the staged MXU path elsewhere. Semantics: reference
-    NormalizedGaussianConvolutionImageFilter.hxx:40-63 (certainty = the
-    clamped mask)."""
+    the staged MXU path elsewhere.
+
+    The certainty is used RAW (no clamp): the reference
+    NormalizedGaussianConvolutionImageFilter.hxx:40-63 consumes the
+    certainty image as given, and the CLI tool
+    (tools/MaskedNormalizedConvolution.cxx:141-203) passes it straight
+    from disk — G*(c*f)/G*c is invariant to uniform scaling of c but NOT
+    to per-voxel clipping, so continuous or >1-valued certainties must
+    not be clipped here. Only the features8 paths clamp, mirroring the
+    reference's own ClampImageFilter(0,1) there."""
     from ife_tpu.ops.stencil import normalized_gaussian_convolution
 
-    c = clamp_mask(mask).astype(image.dtype)
+    c = jnp.asarray(certainty).astype(image.dtype)
     if (jax.devices()[0].platform == "tpu" and image.ndim == 3
             and _nc_sweep_fits(sigma, spacing, image.shape, truncate)):
         from ife_tpu.kernels.fused import fused_normalized_conv_sweep

@@ -79,6 +79,35 @@ def test_features8_f32_within_north_star():
         assert err < budget[FEATURE_NAMES[c]], (FEATURE_NAMES[c], err)
 
 
+def test_normalized_convolution_auto_uses_raw_certainty():
+    """The CLI normalized-convolution path must NOT clip the certainty:
+    the reference filter consumes it raw
+    (NormalizedGaussianConvolutionImageFilter.hxx:40-63) and the ratio
+    G*(c*f)/G*c is invariant to uniform scaling of c but not to per-voxel
+    clipping. Continuous and >1-valued certainties must match the
+    unclamped formula exactly (round-3 advisor finding)."""
+    from ife_tpu.ops.features import normalized_convolution_auto
+    from ife_tpu.ops.stencil import gaussian_smooth
+
+    rng = np.random.default_rng(3)
+    shape = (16, 16, 16)
+    img = jnp.asarray(rng.standard_normal(shape) * 100.0)
+    # continuous certainty with values in (0, 2.5] — clipping would alter it
+    cert = jnp.asarray(rng.uniform(0.05, 2.5, shape))
+    sigma = 1.1
+    got = np.asarray(
+        normalized_convolution_auto(img, cert, sigma, SPACING))
+    num = np.asarray(gaussian_smooth(img * cert, sigma, SPACING))
+    den = np.asarray(gaussian_smooth(cert, sigma, SPACING))
+    want = num / den
+    assert np.abs(got - want).max() < 1e-12
+    # and clipping WOULD have changed the answer (the test has teeth)
+    numc = np.asarray(gaussian_smooth(img * jnp.clip(cert, 0, 1), sigma,
+                                      SPACING))
+    denc = np.asarray(gaussian_smooth(jnp.clip(cert, 0, 1), sigma, SPACING))
+    assert np.abs(numc / denc - want).max() > 1e-3
+
+
 def test_multiscale_stacking():
     img, mask = _data((20, 20, 20))
     sigmas = (0.5, 1.0, 2.0)
