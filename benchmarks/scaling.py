@@ -63,7 +63,11 @@ def main():
         @jax.jit
         def loop(v):
             def body(_, c):
-                return sharded_hessian_eig(c, mesh, (0.78, 0.78, 1.0))[..., 0]
+                # stack=False: time the op, not a trailing lane-axis
+                # relayout (a size-6 channel-last stack costs ~2x the
+                # kernel pass itself)
+                return sharded_hessian_eig(
+                    c, mesh, (0.78, 0.78, 1.0), stack=False)[0]
             return jax.lax.fori_loop(0, args.inner, body, v)[0, 0].sum()
 
         float(loop(x))  # compile + warm

@@ -9,11 +9,12 @@ feature channels — the memory-bound speed-of-light path.
 """
 from ife_tpu.kernels.fused import (  # noqa: F401
     fused_features8,
-    fused_features8_post,
+    fused_features8_post_stream,
     fused_features8_sweep,
     fused_hessian_eig,
     fused_hessian_eig_stream,
     fused_normalized_conv_sweep,
+    fused_normalized_conv_sweep_tiled,
 )
 
 # NOT exported: fused_features8_xs / fused_features8_tap — intermediate

@@ -124,6 +124,22 @@ def _nc_sweep_fits(sigma, spacing, shape, truncate=4.5):
     return 2 * (2 * rx + 3) * Yp * Z * 4 <= _NC_RING_BUDGET
 
 
+def _nc_tile_plan(sigma, spacing, shape, truncate=4.5, max_tiles=4):
+    """Smallest Y-tile count (2..max_tiles) whose radius-extended tiles
+    fit the nc sweep's VMEM rings, or None. Extends the one-pass
+    smoothing kernel past its full-extent VMEM limit (the round-3 gap:
+    sigma=4.8 at 512^3 fell back to the band-einsum staged path)."""
+    import math
+
+    ry = max(1, math.ceil(truncate * float(sigma) / float(spacing[1])))
+    Y = shape[1]
+    for n in range(2, max_tiles + 1):
+        yt = -(-Y // n) + 2 * ry
+        if _nc_sweep_fits(sigma, spacing, (shape[0], yt, shape[2]), truncate):
+            return n
+    return None
+
+
 def normalized_convolution_auto(image, certainty, sigma,
                                 spacing=(1.0, 1.0, 1.0), truncate=4.5):
     """Masked (normalized) Gaussian convolution with TPU dispatch: the
@@ -141,12 +157,21 @@ def normalized_convolution_auto(image, certainty, sigma,
     from ife_tpu.ops.stencil import normalized_gaussian_convolution
 
     c = jnp.asarray(certainty).astype(image.dtype)
-    if (jax.devices()[0].platform == "tpu" and image.ndim == 3
-            and _nc_sweep_fits(sigma, spacing, image.shape, truncate)):
-        from ife_tpu.kernels.fused import fused_normalized_conv_sweep
+    if jax.devices()[0].platform == "tpu" and image.ndim == 3:
+        if _nc_sweep_fits(sigma, spacing, image.shape, truncate):
+            from ife_tpu.kernels.fused import fused_normalized_conv_sweep
 
-        return fused_normalized_conv_sweep(
-            image, c, float(sigma), tuple(spacing), truncate)
+            return fused_normalized_conv_sweep(
+                image, c, float(sigma), tuple(spacing), truncate)
+        n_tiles = _nc_tile_plan(sigma, spacing, image.shape, truncate)
+        if n_tiles is not None:
+            from ife_tpu.kernels.fused import (
+                fused_normalized_conv_sweep_tiled,
+            )
+
+            return fused_normalized_conv_sweep_tiled(
+                image, c, float(sigma), tuple(spacing), truncate,
+                n_tiles=n_tiles)
     return normalized_gaussian_convolution(
         image, c, float(sigma), tuple(spacing), truncate)
 

@@ -188,23 +188,23 @@ def _features8_block(
     s = smooth(img * mf) / smooth(mf)
 
     if use_fused:
-        # per-shard Pallas kernel: the halo-extended block IS the
-        # pre-padded input the fused post-smoothing pass expects
-        from ife_tpu.kernels.fused import fused_features8_post
+        # per-shard STREAMING Pallas kernel: the halo-extended block is
+        # the pre-padded input; the stream kernel carries the x halo
+        # across grid steps (no manual window DMA — the windowed kernel's
+        # DMA overhead was the round-3 sharded wrapper's 2.3x)
+        from ife_tpu.kernels.fused import fused_features8_post_stream
 
         s_ext = _halo_or_edge_pad(s, sharded_axes)
-        # stack=False + stack(axis=-1): one channel-last materialization
-        # instead of stack + moveaxis (two full 8-volume copies)
-        out = fused_features8_post(
+        return fused_features8_post_stream(
             s_ext, m, tuple(spacing), pre_padded=True, stack=False
         )
-        return jnp.stack(out, axis=-1)
 
     gm, H = _grad_hessian_block(s, sharded_axes, spacing)
     eig = eigenvalue_features(H)
-    feats = jnp.concatenate([s[..., None], gm[..., None], eig], axis=-1)
-    inside = (m != 0)[..., None]
-    return jnp.where(inside, feats, jnp.zeros((), img.dtype))
+    inside = m != 0
+    zero = jnp.zeros((), img.dtype)
+    chans = (s, gm) + tuple(eig[..., k] for k in range(6))
+    return tuple(jnp.where(inside, c, zero) for c in chans)
 
 
 # ---------------------------------------------------------------------------
@@ -223,6 +223,56 @@ def _resolve_use_fused(use_fused) -> bool:
     return bool(use_fused)
 
 
+def _features8_block_sweep(
+    img: jnp.ndarray,
+    msk: jnp.ndarray,
+    sigma: float,
+    spacing: Sequence[float],
+    truncate: float,
+    sharded_axes: Dict[int, str],
+    radii: Tuple[int, int],
+) -> Tuple[jnp.ndarray, ...]:
+    """features8 of a shard via the full line-sweep kernel: exchange a
+    (smoothing radius + 1)-deep halo on the sharded axes, run
+    fused_features8_sweep on the extended block AS IF it were a whole
+    volume, and keep the core. Outputs in the kept region never touch a
+    kernel-clamped phantom (taps reach at most radius into the halo, the
+    stencil one more row — exactly the exchanged depth), and at true
+    volume faces the halo_exchange edge replication IS the clamp value,
+    so the kernel's own edge handling composes exactly."""
+    from ife_tpu.kernels.fused import fused_features8_sweep
+
+    core = img.shape
+    lo = [0, 0]
+    for axis in (0, 1):
+        if axis in sharded_axes:
+            r = radii[axis] + 1
+            img = halo_exchange(img, axis, r, sharded_axes[axis])
+            msk = halo_exchange(msk, axis, r, sharded_axes[axis])
+            lo[axis] = r
+    out = fused_features8_sweep(
+        img, msk, float(sigma), tuple(spacing), float(truncate), stack=False
+    )
+    return tuple(
+        o[lo[0]:lo[0] + core[0], lo[1]:lo[1] + core[1], :] for o in out
+    )
+
+
+def _sweep_block_plan(shape, mesh, sigma, spacing, truncate):
+    """(fits, radii): whether the per-shard halo-extended block still fits
+    the sweep kernel's VMEM rings, and the smoothing radii (rx, ry)."""
+    import math
+
+    from ife_tpu.ops.features import _sweep_fits
+
+    rx = max(1, math.ceil(truncate * float(sigma) / float(spacing[0])))
+    ry = max(1, math.ceil(truncate * float(sigma) / float(spacing[1])))
+    local = list(shape)
+    for i, n in enumerate(mesh.devices.shape):
+        local[i] = local[i] // n + 2 * ((rx if i == 0 else ry) + 1)
+    return _sweep_fits(sigma, spacing, tuple(local), truncate), (rx, ry)
+
+
 def sharded_features8(
     image: jax.Array,
     mask: jax.Array,
@@ -231,30 +281,48 @@ def sharded_features8(
     spacing: Sequence[float] = (1.0, 1.0, 1.0),
     truncate: float = 4.5,
     use_fused=None,
+    stack: bool = True,
 ) -> jax.Array:
     """features8 over a block-sharded volume. Returns (X, Y, Z, 8) sharded
-    like the input."""
+    like the input (stack=True), or a tuple of 8 sharded (X, Y, Z) arrays
+    (stack=False — no channel-last relayout; preferred when consumers read
+    channels independently, e.g. the histogram pipelines)."""
     pspec = volume_pspec(mesh)
-    out_spec = P(*pspec, None)
     saxes = _sharded_axis_map(mesh)
+    fused = _resolve_use_fused(use_fused)
+
+    spc = tuple(float(v) for v in spacing)
+    if fused:
+        fits, radii = _sweep_block_plan(
+            image.shape, mesh, float(sigma), spc, float(truncate))
+    else:
+        fits = False
+    if fused and fits:
+        block = functools.partial(
+            _features8_block_sweep,
+            sigma=float(sigma), spacing=spc, truncate=float(truncate),
+            sharded_axes=saxes, radii=radii,
+        )
+    else:
+        block = functools.partial(
+            _features8_block,
+            sigma=float(sigma), spacing=spc, truncate=float(truncate),
+            sharded_axes=saxes, use_fused=fused,
+        )
 
     fn = shard_map(
-        functools.partial(
-            _features8_block,
-            sigma=float(sigma),
-            spacing=tuple(float(v) for v in spacing),
-            truncate=float(truncate),
-            sharded_axes=saxes,
-            use_fused=_resolve_use_fused(use_fused),
-        ),
+        block,
         mesh=mesh,
         in_specs=(pspec, pspec),
-        out_specs=out_spec,
+        out_specs=(pspec,) * 8,
         # pallas_call's ShapeDtypeStruct outputs carry no vma annotation;
         # the body's collectives are hand-placed, so skip the vma check
         check_vma=False,
     )
-    return fn(image, mask)
+    out = fn(image, mask)
+    if stack:
+        return jnp.stack(out, axis=-1)
+    return out
 
 
 def sharded_hessian_eig(
@@ -262,31 +330,40 @@ def sharded_hessian_eig(
     mesh: Mesh,
     spacing: Sequence[float] = (1.0, 1.0, 1.0),
     use_fused=None,
+    stack: bool = True,
 ) -> jax.Array:
     """Hessian -> 6 eigen features of a sharded raw volume: the scaling
-    benchmark path (BASELINE.md configs). Returns (X, Y, Z, 6)."""
+    benchmark path (BASELINE.md configs). Returns (X, Y, Z, 6) when
+    stack=True, else a tuple of 6 sharded (X, Y, Z) arrays (no
+    channel-last relayout — a size-6 trailing stack lands on the TPU lane
+    axis and costs ~2x the kernel pass itself, CLAUDE.md)."""
     pspec = volume_pspec(mesh)
     saxes = _sharded_axis_map(mesh)
     fused = _resolve_use_fused(use_fused)
+    spc = tuple(float(v) for v in spacing)
 
     def block(img):
         if fused:
-            from ife_tpu.kernels.fused import fused_hessian_eig
+            # streaming kernel on the halo-extended block: treat the
+            # extension as part of the volume (the kernel's own edge
+            # clamps then touch only the sliced-away border layer, whose
+            # inward neighbors are real halo data); no manual-DMA windows
+            from ife_tpu.kernels.fused import fused_hessian_eig_stream
 
+            core = img.shape
             ext = _halo_or_edge_pad(img, saxes)
-            # stack=False + stack(axis=-1): one channel-last
-            # materialization instead of stack + moveaxis (two copies)
-            out = fused_hessian_eig(
-                ext, tuple(float(v) for v in spacing),
-                pre_padded=True, stack=False,
-            )
-            return jnp.stack(out, axis=-1)
-        _, H = _grad_hessian_block(img, saxes, tuple(float(v) for v in spacing))
-        return eigenvalue_features(H)
+            out = fused_hessian_eig_stream(ext, spc, block=2, stack=False)
+            return tuple(o[1:1 + core[0], 1:1 + core[1], :] for o in out)
+        _, H = _grad_hessian_block(img, saxes, spc)
+        e = eigenvalue_features(H)
+        return tuple(e[..., k] for k in range(6))
 
     fn = shard_map(block, mesh=mesh, in_specs=(pspec,),
-                   out_specs=P(*pspec, None), check_vma=False)
-    return fn(image)
+                   out_specs=(pspec,) * 6, check_vma=False)
+    out = fn(image)
+    if stack:
+        return jnp.stack(out, axis=-1)
+    return out
 
 
 def features8_sharded_auto(

@@ -194,10 +194,14 @@ def sharded_feature_fine_histograms(
 
     out = []
     for s in sigmas:
+        # stack=False: per-channel tuple — the histogram consumes channels
+        # independently, so the channel-last lane-axis stack (a ~2x
+        # relayout at 512^3) is never materialized
         feats = sharded_features8(img_s, mskf_s, float(s), mesh, spacing,
-                                  truncate, use_fused=use_fused)
-        for k in range(feats.shape[-1]):
+                                  truncate, use_fused=use_fused,
+                                  stack=False)
+        for chan in feats:
             out.append(
-                masked_fine_histogram(feats[..., k], mskc_s, mesh, n_fine)
+                masked_fine_histogram(chan, mskc_s, mesh, n_fine)
             )
     return out

@@ -417,6 +417,75 @@ def test_sweep_fused_prime_extents_and_blocks():
                                   1e-7)
 
 
+def test_post_stream_matches_windowed_post():
+    """The streaming post-smoothing kernel vs the windowed one vs the
+    composed op, plain and pre_padded, including prime extents."""
+    from ife_tpu.core.volume import sphere_mask
+    from ife_tpu.kernels.fused import (
+        fused_features8_post, fused_features8_post_stream,
+    )
+    from ife_tpu.ops.stencil import gaussian_smooth
+
+    for shape in [(16, 16, 16), (13, 11, 16)]:
+        x = synthetic_ct(shape, seed=12, dtype=jnp.float64).data
+        m = sphere_mask(shape, 0.45).data
+        s = gaussian_smooth(x, 1.0, SPACING)
+        want = np.moveaxis(np.asarray(
+            fused_features8_post(s, m, SPACING, interpret=True)), 0, -1)
+        got = np.moveaxis(np.asarray(
+            fused_features8_post_stream(s, m, SPACING, interpret=True)),
+            0, -1)
+        for c in (0, 1):
+            sc = max(np.abs(want[..., c]).max(), 1.0)
+            assert np.abs(got[..., c] - want[..., c]).max() / sc < 1e-9, c
+        _assert_feature_parity(got[..., 2:], want[..., 2:], rtol=1e-9)
+        # pre_padded: a halo-extended block must reproduce the core
+        sp = jnp.pad(s, ((1, 1), (1, 1), (0, 0)), mode="edge")
+        gp = np.moveaxis(np.asarray(fused_features8_post_stream(
+            sp, m, SPACING, interpret=True, pre_padded=True)), 0, -1)
+        for c in (0, 1):
+            sc = max(np.abs(want[..., c]).max(), 1.0)
+            assert np.abs(gp[..., c] - want[..., c]).max() / sc < 1e-9, c
+        _assert_feature_parity(gp[..., 2:], want[..., 2:], rtol=1e-9)
+
+
+def test_stream_kernel_extended_block_slice_trick():
+    """The sharded wrapper runs the STREAM kernel on a halo-extended
+    block and slices the core (no pre_padded flag needed): interior
+    outputs must equal the unextended kernel's on the true core, because
+    the kernel's own edge clamps only touch the sliced-away border."""
+    from ife_tpu.kernels.fused import fused_hessian_eig_stream
+
+    x = synthetic_ct((12, 10, 16), seed=13, dtype=jnp.float64).data
+    want = _want(x)
+    ext = jnp.pad(x, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    out = fused_hessian_eig_stream(ext, SPACING, block=2, interpret=True,
+                                   stack=False)
+    got = np.stack([np.asarray(o)[1:-1, 1:-1, :] for o in out], axis=-1)
+    _assert_feature_parity(got, want, rtol=1e-9)
+
+
+def test_nc_sweep_tiled_matches_untiled():
+    """Y-tiled sweep assembly must be exactly the untiled result: kept
+    rows never touch a tile-edge clamp (radius-extended slabs), true
+    edges stay true edges."""
+    from ife_tpu.core.volume import sphere_mask
+    from ife_tpu.kernels.fused import (
+        fused_normalized_conv_sweep, fused_normalized_conv_sweep_tiled,
+    )
+
+    for shape, sigma, n_tiles in [((12, 17, 16), 1.3, 2),
+                                  ((10, 23, 16), 2.1, 3)]:
+        x = synthetic_ct(shape, seed=10, dtype=jnp.float64).data
+        m = sphere_mask(shape, 0.45).data.astype(jnp.float64)
+        want = np.asarray(fused_normalized_conv_sweep(
+            x, m, sigma, SPACING, interpret=True))
+        got = np.asarray(fused_normalized_conv_sweep_tiled(
+            x, m, sigma, SPACING, n_tiles=n_tiles, interpret=True))
+        inside = np.asarray(m) > 0
+        assert np.array_equal(got[inside], want[inside]), (shape, sigma)
+
+
 def test_nc_sweep_matches_staged_normalized_conv():
     # the smoothing-only line sweep vs the staged separable path; compare
     # inside the mask support (the no-epsilon divide is nan outside in
