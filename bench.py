@@ -124,15 +124,24 @@ def bench_cpu_reference(shape=(128, 128, 128)):
     return float(np.prod(shape)) / dt
 
 
-def verify_on_chip(shape=(128, 128, 128), sigma=1.0, spacing=(0.78, 0.78, 1.0)):
-    """On-chip regression: fused Pallas paths vs the XLA-composed ops on the
-    real device (interpreter-mode tests can't catch Mosaic lowering
-    regressions — round 2's fused_features8_full proved the failure mode).
+def verify_on_chip(shape=(128, 128, 128), spacing=(0.78, 0.78, 1.0)):
+    """On-chip regression: EVERY fused Pallas kernel the product can
+    dispatch vs the XLA-composed ops on the real device (interpreter-mode
+    tests can't catch Mosaic lowering regressions — round 2's
+    fused_features8_full proved the failure mode).
 
-    Covers the three kernels the product dispatches:
-    fused_features8_sweep (the flagship line-sweep pass, features8_auto's
-    default path), fused_hessian_eig (the windowed per-shard kernel), and
-    fused_hessian_eig_stream (the bench hot path).
+    Coverage (the full dispatch surface of features8_auto /
+    normalized_convolution_auto / the sharded wrappers):
+      * fused_features8_sweep at sigma=1.0 AND sigma=3.5 (the large-radius
+        ring/roll-tap regime);
+      * fused_normalized_conv_sweep at sigma=4.8 (the staged path's
+        smoothing stage at large sigma);
+      * fused_features8_post_stream, plain and pre_padded (the staged
+        path's tail + the sharded features8 per-shard kernel);
+      * fused_hessian_eig (windowed, public API) and
+        fused_hessian_eig_stream, plain and via the halo-extended
+        slice trick (the sharded hessian_eig per-shard path).
+
     Channels 0,1 (smoothed, |grad|) and 5,6,7 (the symmetric eigenvalue
     functions) must agree tightly; eigen channels 2-4 are compared as
     VALUE-SORTED triples because the |e|-ordering legitimately swaps at
@@ -142,46 +151,88 @@ def verify_on_chip(shape=(128, 128, 128), sigma=1.0, spacing=(0.78, 0.78, 1.0)):
     import jax
     import jax.numpy as jnp
     from ife_tpu.kernels.fused import (
-        fused_features8_sweep, fused_hessian_eig, fused_hessian_eig_stream,
+        fused_features8_post_stream, fused_features8_sweep,
+        fused_hessian_eig, fused_hessian_eig_stream,
+        fused_normalized_conv_sweep,
     )
     from ife_tpu.ops.features import features8, hessian_eig_features
+    from ife_tpu.ops.stencil import normalized_gaussian_convolution
 
     key = jax.random.PRNGKey(0)
     img = jax.random.normal(key, shape, jnp.float32) * 200.0 - 600.0
     msk = (jax.random.uniform(jax.random.PRNGKey(1), shape) > 0.25).astype(
         jnp.float32)
 
-    @jax.jit
-    def errs(v, m):
+    def sweep_errs(v, m, sigma):
         a = jnp.moveaxis(fused_features8_sweep(v, m, sigma, spacing,
                                                stack=True), 0, -1)
         b = features8(v, m, sigma, spacing)
         scale = jnp.maximum(jnp.abs(b).reshape(-1, 8).max(axis=0), 1.0)
         direct = jnp.abs(a - b).reshape(-1, 8).max(axis=0) / scale
-        # eigen channels, order-independent
         ea = jnp.sort(a[..., 2:5], axis=-1)
         eb = jnp.sort(b[..., 2:5], axis=-1)
         eig = jnp.abs(ea - eb).max() / jnp.maximum(jnp.abs(eb).max(), 1.0)
-        # hessian+eig kernel vs composed op
+        return direct, eig
+
+    @jax.jit
+    def errs(v, m):
+        out = {}
+        for sig, tag in ((1.0, ""), (3.5, "_s35")):
+            direct, eig = sweep_errs(v, m, sig)
+            out["smoothed" + tag] = direct[0]
+            out["gradmag" + tag] = direct[1]
+            out["log" + tag] = direct[5]
+            out["gausscurv" + tag] = direct[6]
+            out["frobenius" + tag] = direct[7]
+            out["eig_sorted_features8" + tag] = eig
+        # normalized-conv sweep at sigma past the features-sweep range,
+        # compared inside the mask support (nan outside in both, like the
+        # reference's no-epsilon divide)
+        nc = fused_normalized_conv_sweep(v, m, 4.8, spacing)
+        ncw = normalized_gaussian_convolution(v, m, 4.8, spacing)
+        inside = m != 0
+        nce = jnp.abs(jnp.where(inside, nc - ncw, 0.0)).max() / \
+            jnp.maximum(jnp.abs(jnp.where(inside, ncw, 0.0)).max(), 1.0)
+        out["nc_sweep_s48"] = nce
+        # post-stream kernel, plain + pre_padded, vs the composed op
+        s = normalized_gaussian_convolution(v, m, 1.0, spacing)
+        b = features8(v, m, 1.0, spacing)
+        scale = jnp.maximum(jnp.abs(b).reshape(-1, 8).max(axis=0), 1.0)
+        ps = jnp.moveaxis(
+            fused_features8_post_stream(s, m, spacing, stack=True), 0, -1)
+        dps = jnp.abs(jnp.where(inside[..., None], ps - b, 0.0)
+                      ).reshape(-1, 8).max(axis=0) / scale
+        out["post_stream_smoothed"] = dps[0]
+        out["post_stream_frobenius"] = dps[7]
+        se = jnp.pad(s, ((1, 1), (1, 1), (0, 0)), mode="edge")
+        pp = jnp.moveaxis(fused_features8_post_stream(
+            se, m, spacing, stack=True, pre_padded=True), 0, -1)
+        dpp = jnp.abs(jnp.where(inside[..., None], pp - b, 0.0)
+                      ).reshape(-1, 8).max(axis=0) / scale
+        out["post_stream_prepad_frobenius"] = dpp[7]
+        out["post_stream_prepad_eig_sorted"] = jnp.abs(
+            jnp.sort(pp[..., 2:5], -1) - jnp.sort(b[..., 2:5], -1)
+        ).max() / jnp.maximum(jnp.abs(b[..., 2:5]).max(), 1.0)
+        # hessian+eig kernels vs composed op
+        hb = jnp.sort(hessian_eig_features(v, spacing)[..., :3], axis=-1)
+        hscale = jnp.maximum(jnp.abs(hb).max(), 1.0)
         ha = jnp.sort(jnp.stack(
             fused_hessian_eig(v, spacing, stack=False)[:3], -1), axis=-1)
-        hb = jnp.sort(hessian_eig_features(v, spacing)[..., :3], axis=-1)
-        heig = jnp.abs(ha - hb).max() / jnp.maximum(jnp.abs(hb).max(), 1.0)
+        out["eig_sorted_hessian_eig"] = jnp.abs(ha - hb).max() / hscale
         sa = jnp.sort(jnp.stack(
             fused_hessian_eig_stream(v, spacing, block=2,
                                      stack=False)[:3], -1), axis=-1)
-        seig = jnp.abs(sa - hb).max() / jnp.maximum(jnp.abs(hb).max(), 1.0)
-        return direct, eig, heig, seig
+        out["eig_sorted_hessian_eig_stream"] = jnp.abs(sa - hb).max() / hscale
+        # the sharded per-shard path: stream kernel on a halo-extended
+        # block, core sliced back out
+        ve = jnp.pad(v, ((1, 1), (1, 1), (0, 0)), mode="edge")
+        xa = fused_hessian_eig_stream(ve, spacing, block=2, stack=False)
+        xa = jnp.sort(jnp.stack([o[1:-1, 1:-1, :] for o in xa[:3]], -1),
+                      axis=-1)
+        out["eig_sorted_stream_ext_slice"] = jnp.abs(xa - hb).max() / hscale
+        return out
 
-    direct, eig, heig, seig = (np.asarray(e) for e in errs(img, msk))
-    report = {
-        "smoothed": float(direct[0]), "gradmag": float(direct[1]),
-        "log": float(direct[5]), "gausscurv": float(direct[6]),
-        "frobenius": float(direct[7]),
-        "eig_sorted_features8": float(eig),
-        "eig_sorted_hessian_eig": float(heig),
-        "eig_sorted_hessian_eig_stream": float(seig),
-    }
+    report = {k: float(v) for k, v in errs(img, msk).items()}
     for k, v in report.items():
         assert v < 1e-4, (k, v, report)
     return report
@@ -293,7 +344,11 @@ def bench_all(out_path="BENCH_DETAIL.json", resume=False):
     if not have(4):
         try:
             # config 4: features8 + device histograms at 512^3 (the make-bag /
-            # bin-edges on-device stage), loop-amortized like the rest
+            # bin-edges on-device stage), loop-amortized like the rest.
+            # The histogram is the round-4 TPU-native compare-reduce
+            # (stats/histogram.py): the round-3 scatter lowering measured
+            # 33.8 s for this stage and OOM-crashed the worker when
+            # composed with the feature pass.
             shape4 = (512, 512, 512) if on_tpu else (64, 64, 64)
             x512 = jax.random.normal(key, shape4, jnp.float32) * 200.0 - 600.0
             m512 = (jax.random.uniform(jax.random.PRNGKey(2), shape4) > 0.25).astype(
@@ -302,12 +357,9 @@ def bench_all(out_path="BENCH_DETAIL.json", resume=False):
 
             edges = jnp.linspace(-1200.0, 600.0, 31)
 
-            # The features pass and the histogram stage are timed as
-            # SEPARATE device programs and summed: that is how the product
-            # executes them (determine-bin-edges materializes the feature
-            # volumes, then bins them), and composing them into one jit
-            # repeatedly crashed the TPU worker (three runs) while each
-            # stage runs clean standalone.
+            # Stage-separated timing (the product execution shape:
+            # determine-bin-edges materializes the feature volumes, then
+            # bins them).
             def feat_pass(v, m):
                 return one_scale8(v, m, 1.0)[0]
 
@@ -335,6 +387,25 @@ def bench_all(out_path="BENCH_DETAIL.json", resume=False):
                 round(float(np.prod(shape4)) / dt, 1)
             detail["config4_shape"] = list(shape4)
             print("config4 done:", detail, file=sys.stderr, flush=True)
+            _dump(detail, out_path)
+
+            # The ONE-JIT composition (features -> histograms, no
+            # intermediate fetch) — the exact program shape that crashed
+            # the round-3 TPU worker five times with the scatter
+            # histogram. Timed to document the root cause is gone.
+            def composed(v, m, e):
+                chans = one_scale8(v, m, 1.0)
+                w = (m != 0).ravel().astype(jnp.int32)
+                counts = jnp.stack(
+                    [histogram_counts(c.ravel(), e, weights=w)
+                     for c in chans])
+                return v + counts.sum().astype(v.dtype) * jnp.asarray(
+                    0.0, v.dtype)
+
+            dtc = _loop_time(composed, x512, m512, edges, inner=12)
+            detail["config4_composed_one_jit_ms"] = round(dtc * 1e3, 2)
+            print("config4 composed done:", detail, file=sys.stderr,
+                  flush=True)
             _dump(detail, out_path)
         except Exception as e:  # worker crashes must not lose the artifact
             detail["config4_error"] = f"{type(e).__name__}: {str(e)[:160]}"

@@ -8,9 +8,17 @@ Frequencies are counts / total.
 
 TPU-first design: instead of ITK's one-voxel-at-a-time std::lower_bound
 insert loop (DenseHistogram.h:47-53, the MakeBag hot loop at
-tools/MakeBag.cxx:448-457), binning is a vectorized searchsorted plus a
-scatter-add over the whole sample block, jittable and psum-reducible across
-shards (SURVEY.md §2.4: collective reductions for statistics).
+tools/MakeBag.cxx:448-457), binning on device is a CUMULATIVE
+COMPARE-REDUCE: C[j] = sum_i w_i * (x_i <= e_j) for each edge, then
+counts = diff(C) — pure broadcast-compare + sum reductions, the shape the
+VPU is built for. For sorted (nondecreasing) edges this is EXACTLY
+searchsorted(edges, x, 'left') binning: idx(x) <= j  <=>  x <= e_j.
+A scatter-add (the "obvious" lowering) is pathological on TPU — it
+measured 33.8 s for nine 31-edge histograms at 512^3 where this pass
+takes tens of ms, and its sort/unique temporaries OOM-crashed the TPU
+worker when composed with a feature pass (round 3, BENCH_DETAIL
+config4_error; root-cause record in docs/design.md). Counts accumulate
+in int32 and psum-reduce across shards (SURVEY.md §2.4).
 """
 from __future__ import annotations
 
@@ -46,32 +54,68 @@ def histogram_counts(
     """
     v = values.reshape(-1)
     if weights is None:
-        w = jnp.ones_like(v, dtype=jnp.int32)
+        w = None
     else:
         w = weights.reshape(-1).astype(jnp.int32)
-    # Large inputs go through a lax.scan over fixed-size chunks: one
-    # whole-volume scatter materializes the full index array plus the
-    # scatter lowering's sort temporaries at once — at 512^3 alongside a
-    # feature pass that contributed to TPU-worker OOM crashes (bench
-    # config 4). The chunked form bounds the temporaries to one chunk and
-    # is bit-identical (int32 adds commute).
-    chunk = 1 << 22
-    if v.shape[0] > chunk:
-        pad = (-v.shape[0]) % chunk
-        # pad weights with 0: padded lanes never count
-        vc = jnp.pad(v, (0, pad)).reshape(-1, chunk)
-        wc = jnp.pad(w, (0, pad)).reshape(-1, chunk)
+    E = int(edges.shape[0])
+    if E == 0:
+        tot = (jnp.asarray(v.shape[0], jnp.int32) if w is None
+               else jnp.sum(w, dtype=jnp.int32))
+        return tot[None]
+
+    def chunk_counts(vv, ww):
+        """Cumulative compare-reduce over one chunk: (E,) int32 C[j] =
+        sum w*(v <= e_j), plus the chunk total. The (E, chunk) compare
+        never materializes — XLA fuses the broadcast-compare producer
+        into the row reductions."""
+        le = vv[None, :] <= edges[:, None]          # (E, chunk) predicate
+        if ww is None:
+            cum = jnp.sum(le, axis=1, dtype=jnp.int32)
+            tot = jnp.asarray(vv.shape[0], jnp.int32)
+        else:
+            cum = jnp.sum(le * ww[None, :], axis=1, dtype=jnp.int32)
+            tot = jnp.sum(ww, dtype=jnp.int32)
+        return cum, tot
+
+    # chunk the scan so the fused compare stays cache-sized; smaller
+    # chunks for many-edge (fine) histograms bound the per-step compute
+    chunk = max(1 << 13, min(1 << 22, (1 << 27) // max(E, 1)))
+    n = v.shape[0]
+    if n > chunk:
+        pad = (-n) % chunk
+        inexact = jnp.issubdtype(v.dtype, jnp.inexact)
+        if pad:
+            if inexact:
+                # pad values with +inf: they fall past every edge, and
+                # their spurious +pad in the total is subtracted below
+                vc = jnp.pad(v, (0, pad), constant_values=np.inf)
+                wc = None if w is None else jnp.pad(w, (0, pad))
+            else:
+                # integer values have no +inf — pad with zero WEIGHT so
+                # the pads never count anywhere
+                vc = jnp.pad(v, (0, pad))
+                wc = jnp.pad(w if w is not None
+                             else jnp.ones_like(v, jnp.int32), (0, pad))
+        else:
+            vc, wc = v, w
+        vc = vc.reshape(-1, chunk)
+        xs = (vc,) if wc is None else (vc, wc.reshape(-1, chunk))
 
         def body(acc, args):
-            vv, ww = args
-            idx = jnp.searchsorted(edges, vv, side="left")
-            return acc.at[idx].add(ww), None
+            cum, tot = chunk_counts(args[0], args[1] if len(args) > 1
+                                    else None)
+            return (acc[0] + cum, acc[1] + tot), None
 
-        acc0 = jnp.zeros(edges.shape[0] + 1, jnp.int32)
-        out, _ = jax.lax.scan(body, acc0, (vc, wc))
-        return out
-    idx = jnp.searchsorted(edges, v, side="left")
-    return jnp.zeros(edges.shape[0] + 1, jnp.int32).at[idx].add(w)
+        acc0 = (jnp.zeros(E, jnp.int32), jnp.zeros((), jnp.int32))
+        (cum, tot), _ = jax.lax.scan(body, acc0, xs)
+        if pad and inexact and w is None:
+            tot = tot - pad  # the +inf pads counted into the total
+    else:
+        cum, tot = chunk_counts(v, w)
+    first = cum[:1]
+    interior = cum[1:] - cum[:-1]
+    tail = (tot - cum[-1])[None]
+    return jnp.concatenate([first, interior, tail])
 
 
 def batched_histogram_counts(

@@ -80,6 +80,54 @@ def test_histogram_counts_exact_past_f32_increment_limit():
     np.testing.assert_array_equal(got, [n, 0])
 
 
+def test_histogram_counts_fuzz_vs_searchsorted():
+    """The device compare-reduce vs the definitional searchsorted-left
+    binning: duplicate edges, values exactly ON edges, +/-inf values,
+    weights — all must agree exactly."""
+    rng = np.random.default_rng(7)
+    edges = np.sort(np.concatenate([rng.standard_normal(9),
+                                    [0.5, 0.5]]))  # duplicate edge
+    v = np.concatenate([
+        rng.standard_normal(5000), edges, [np.inf, -np.inf, 0.5],
+    ]).astype(np.float32)
+    w = (rng.uniform(size=v.size) > 0.3).astype(np.int32)
+    want = np.zeros(edges.size + 1, np.int64)
+    np.add.at(want, np.searchsorted(edges.astype(np.float32), v, "left"), w)
+    got = np.asarray(histogram_counts(jnp.asarray(v),
+                                      jnp.asarray(edges, jnp.float32),
+                                      jnp.asarray(w)))
+    np.testing.assert_array_equal(got.astype(np.int64), want)
+
+
+def test_histogram_counts_fine_edges_chunked_weighted():
+    """Many-edge (fine) histograms force the small-chunk scan path; the
+    chunked compare-reduce must stay exact with weights and padding."""
+    rng = np.random.default_rng(8)
+    edges = np.linspace(-3.0, 3.0, 16400)
+    v = rng.standard_normal(20001).astype(np.float32)
+    w = (rng.uniform(size=v.size) > 0.5).astype(np.int32)
+    want = np.zeros(edges.size + 1, np.int64)
+    np.add.at(want, np.searchsorted(edges.astype(np.float32), v, "left"), w)
+    got = np.asarray(histogram_counts(jnp.asarray(v),
+                                      jnp.asarray(edges, jnp.float32),
+                                      jnp.asarray(w)))
+    np.testing.assert_array_equal(got.astype(np.int64), want)
+
+
+def test_histogram_counts_integer_values_chunked():
+    """Integer values cannot pad with +inf; the zero-weight pad path must
+    keep counts exact through the chunked scan."""
+    n = (1 << 22) + 17
+    v = jnp.asarray(np.arange(n, dtype=np.int32) % 5)
+    edges = jnp.asarray([0.0, 2.0, 3.0])
+    got = np.asarray(histogram_counts(v, edges))
+    base, rem = n // 5, n % 5
+    per = [base + (1 if k < rem else 0) for k in range(5)]
+    np.testing.assert_array_equal(
+        got.astype(np.int64),
+        [per[0], per[1] + per[2], per[3], per[4]])
+
+
 def test_batched_histogram_counts():
     rng = np.random.default_rng(1)
     v = rng.standard_normal((4, 1000))
