@@ -5,12 +5,14 @@ build one volume per SeriesInstanceUID sorted by slice position, name the
 output from PatientID/StudyDate/ConvolutionKernel/SliceSpacing tags.
 
 Scope: uncompressed little-endian transfer syntaxes (Implicit VR
-1.2.840.10008.1.2 and Explicit VR 1.2.840.10008.1.2.1) plus RLE Lossless
-(1.2.840.10008.1.2.5, PackBits segments) with monochrome int8/16 pixels —
-i.e. standard CT exports and the common lossless archive format. Other
-compressed syntaxes (JPEG family) raise a clear error listing what is
-supported. This is a deliberate from-scratch parser (the environment has
-no pydicom; the reference used ITK's GDCM).
+1.2.840.10008.1.2 and Explicit VR 1.2.840.10008.1.2.1), RLE Lossless
+(1.2.840.10008.1.2.5, PackBits segments), and JPEG Lossless SV1
+(1.2.840.10008.1.2.4.70, process 14 first-order prediction — the most
+common compressed CT archive syntax; decoder in ife_tpu.io.jpegll) with
+monochrome int8/16 pixels. Remaining compressed syntaxes (lossy JPEG,
+JPEG 2000) raise a clear error listing what is supported. This is a
+deliberate from-scratch parser (the environment has no pydicom; the
+reference used ITK's GDCM).
 """
 from __future__ import annotations
 
@@ -28,7 +30,8 @@ _UNCOMPRESSED = {
     "1.2.840.10008.1.2.1",   # explicit VR LE
 }
 _RLE = "1.2.840.10008.1.2.5"  # RLE Lossless (PackBits segments)
-SUPPORTED_SYNTAXES = sorted(_UNCOMPRESSED | {_RLE})
+_JPEG_LL = "1.2.840.10008.1.2.4.70"  # JPEG Lossless SV1 (process 14)
+SUPPORTED_SYNTAXES = sorted(_UNCOMPRESSED | {_RLE, _JPEG_LL})
 # VRs with a 2-byte reserved field and 4-byte length in explicit VR
 _LONG_VRS = {b"OB", b"OW", b"OF", b"SQ", b"UT", b"UN"}
 
@@ -109,11 +112,11 @@ def read_dicom_file(path: str) -> Optional[Dict[str, bytes]]:
     # file meta group (0002) is always explicit VR LE
     meta = _parse_elements(buf, explicit=True, start=_MAGIC_OFFSET + 4)
     ts = meta.get("TransferSyntaxUID", b"").decode("ascii", "ignore").strip("\x00 ")
-    if ts and ts not in _UNCOMPRESSED and ts != _RLE:
+    if ts and ts not in SUPPORTED_SYNTAXES:
         raise ValueError(
             f"{path}: unsupported transfer syntax {ts}; supported: "
             + ", ".join(SUPPORTED_SYNTAXES)
-            + " — transcode JPEG-family files to one of these"
+            + " — transcode lossy-JPEG/JPEG2000 files to one of these"
         )
     explicit = ts != "1.2.840.10008.1.2"
     # skip past the meta group: re-scan from after DICM, stopping when group
@@ -222,7 +225,18 @@ def read_dicom_series(paths: List[str]) -> Tuple[Volume, Dict[str, str]]:
             # single-frame files: fragment 0 is the (possibly empty) Basic
             # Offset Table, the last fragment is the frame
             frame = frags[-1]
-            arr = _rle_decode_frame(frame, rows * cols, bits, signed)
+            if d.get("_ts", b"").decode() == _JPEG_LL:
+                from ife_tpu.io.jpegll import decode_jpeg_lossless
+
+                raw = decode_jpeg_lossless(frame)[:rows, :cols].reshape(-1)
+                if bits == 8:
+                    arr = raw.astype(np.uint8)
+                    arr = arr.view(np.int8) if signed else arr
+                else:
+                    # two's-complement reinterpretation, like the raw path
+                    arr = raw.view(np.int16) if signed else raw
+            else:
+                arr = _rle_decode_frame(frame, rows * cols, bits, signed)
         else:
             arr = np.frombuffer(d["PixelData"], dtype=dtype)[: rows * cols]
         slope = _f(d, "RescaleSlope", 1.0)

@@ -175,3 +175,51 @@ def test_volume_io_dispatch(tmp_path):
         write_volume(p, v)
         r = read_volume(p)
         np.testing.assert_allclose(r.numpy(), v.numpy(), rtol=1e-6)
+
+
+# --- JPEG Lossless SV1 codec (ConvertDICOM's compressed-CT syntax) ------
+
+def test_jpegll_roundtrip_fuzz():
+    """encode -> decode identity over random images at several precisions
+    and shapes (incl. non-square and single-row/column edge cases)."""
+    from ife_tpu.io.jpegll import decode_jpeg_lossless, encode_jpeg_lossless
+
+    rng = np.random.default_rng(11)
+    cases = [
+        ((7, 5), 12), ((16, 16), 16), ((1, 9), 8), ((9, 1), 10),
+        ((32, 17), 16),
+    ]
+    for shape, precision in cases:
+        img = rng.integers(0, 1 << precision, size=shape).astype(np.uint16)
+        enc = encode_jpeg_lossless(img, precision=precision)
+        dec = decode_jpeg_lossless(enc)
+        np.testing.assert_array_equal(dec, img), (shape, precision)
+
+
+def test_jpegll_roundtrip_ct_like():
+    """CT-like content (smooth + noise, int16 two's complement stored as
+    uint16) — the DICOM signed-pixel path's exact byte semantics."""
+    from ife_tpu.io.jpegll import decode_jpeg_lossless, encode_jpeg_lossless
+
+    rng = np.random.default_rng(12)
+    yy, xx = np.mgrid[0:24, 0:31]
+    hu = (-600 + 80 * np.sin(xx / 5.0) * np.cos(yy / 7.0)
+          + rng.integers(-20, 20, size=(24, 31))).astype(np.int16)
+    stored = hu.view(np.uint16)
+    dec = decode_jpeg_lossless(encode_jpeg_lossless(stored, precision=16))
+    np.testing.assert_array_equal(dec.view(np.int16), hu)
+
+
+def test_jpegll_rejects_non_lossless_and_multicomponent():
+    import pytest
+    from ife_tpu.io.jpegll import decode_jpeg_lossless
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_lossless(b"\x00\x01\x02\x03")
+    # a baseline-DCT SOF0 must be rejected with a clear message
+    import struct as _s
+    sof0 = (_s.pack(">H", 0xFFD8)
+            + _s.pack(">HH", 0xFFC0, 2 + 9)
+            + _s.pack(">BHHB", 8, 4, 4, 1) + bytes([0, 0x11, 0]))
+    with pytest.raises(ValueError, match="SOF3"):
+        decode_jpeg_lossless(sof0)
