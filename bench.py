@@ -230,6 +230,18 @@ def verify_on_chip(shape=(128, 128, 128), spacing=(0.78, 0.78, 1.0)):
         xa = jnp.sort(jnp.stack([o[1:-1, 1:-1, :] for o in xa[:3]], -1),
                       axis=-1)
         out["eig_sorted_stream_ext_slice"] = jnp.abs(xa - hb).max() / hscale
+        # the Pallas histogram kernel vs a definitional searchsorted +
+        # scatter oracle (fine at this small shape): exact integer
+        # equality expected
+        from ife_tpu.kernels.histogram import histogram_counts_pallas
+
+        e = jnp.linspace(-1100.0, 300.0, 31)
+        w = (m != 0).ravel().astype(jnp.int32)
+        hp = histogram_counts_pallas(v.ravel(), e, w)
+        idx = jnp.searchsorted(e, v.ravel(), side="left")
+        ref_counts = jnp.zeros(e.shape[0] + 1, jnp.int32).at[idx].add(w)
+        out["hist_pallas_max_abs_count_err"] = jnp.abs(
+            hp - ref_counts).max().astype(jnp.float32)
         return out
 
     report = {k: float(v) for k, v in errs(img, msk).items()}

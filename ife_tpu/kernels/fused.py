@@ -56,12 +56,17 @@ def _clamp_shift_z_roll(s: jnp.ndarray, off: int) -> jnp.ndarray:
 def _taps_z_roll(a: jnp.ndarray, taps, dt) -> jnp.ndarray:
     """Edge-clamped z (lane-axis) FIR via per-tap pltpu.roll.
 
-    The chained-shift form (up = shift(up, 1) per tap) costs one or two
-    lane RELAYOUTS per tap *in a serial dependency chain* — the dominant
-    VPU cost of large-radius sweeps (a sigma=4.8 pass does 2x28 chained
-    lane concats per row). Here every tap's rotate is independent (ILP
-    across taps), costs a single relayout, and the clamp is two reusable
-    lane-broadcasts of the edge planes plus a lane-index select per tap.
+    MEASURED NEGATIVE RESULT (round 4, r4_probe14): the hypothesis was
+    that the chained-shift form (up = shift(up, 1) per tap — one or two
+    lane relayouts per tap in a serial dependency chain) dominated
+    large-radius sweeps, and that independent per-tap rotates (ILP across
+    taps, one relayout each, clamp = two reusable lane-broadcasts + a
+    lane-index select) would be faster. On chip the sweep pass timed the
+    SAME (config 3: 3.94 vs 3.99 Gvox/s; sigma<=1.2 at 512^3 within 2%),
+    and the independent rolls' simultaneous liveness added ~8 MB of
+    Mosaic scoped-vmem stack — enough to push the sigma=2.4 512^3 sweep
+    over the 112 MB limit (compile OOM). The sweep kernels therefore keep
+    the chained form; this helper stays for the record and for probes.
     Semantics: identical clamp composition s[min(max(z+k,0),Z-1)]."""
     rz = (len(taps) - 1) // 2
     Z = a.shape[-1]
@@ -693,10 +698,7 @@ def _features8_sweep_kernel(im_ref, mk_ref, o0, o1, o2, o3, o4, o5, o6, o7,
 
     def smooth_yz(a):
         a = taps_1d(a, taps_y, _clamp_shift_y)
-        # z taps via independent per-tap lane rolls: the chained-concat
-        # form serialized 2*rz lane relayouts per row and dominated the
-        # large-sigma pass (see _taps_z_roll)
-        return _taps_z_roll(a, taps_z, dt)
+        return taps_1d(a, taps_z, _clamp_shift_z)
 
     # carried window shift: rows [k*bx-1, k*bx] are the last two of the
     # previous step's window
@@ -812,8 +814,7 @@ def _nc_sweep_kernel(im_ref, mk_ref, o_ref, ring_n, ring_m, *, R,
 
     def smooth_yz(a):
         a = taps_1d(a, taps_y, _clamp_shift_y)
-        # independent per-tap lane rolls (see _taps_z_roll)
-        return _taps_z_roll(a, taps_z, dt)
+        return taps_1d(a, taps_z, _clamp_shift_z)
 
     o_ref[:] = smooth_yz(xpass(ring_n)) / smooth_yz(xpass(ring_m))
 

@@ -1,0 +1,132 @@
+"""Pallas TPU histogram kernel: cumulative compare-accumulate binning.
+
+The reference bins one voxel at a time with std::lower_bound
+(DenseHistogram.h:47-53). The TPU-native form used here is the same
+cumulative compare-reduce as stats.histogram.histogram_counts —
+C[j] = sum_i w_i * (x_i <= e_j), counts = diff(C) — but as a single
+Pallas pass: each grid step streams one (bx, 128) block of values (and
+optionally mask weights) through VMEM, unrolls the E-edge compare loop
+on the VPU with the edge values read from SMEM, and accumulates per-lane
+partial counts in a persistent (E, 128) int32 scratch; the last step
+writes the scratch out, and the wrapper reduces the 128 lanes in XLA.
+One read of the data at streaming bandwidth, no scatter, bit-exact
+searchsorted-left semantics (the XLA fallback's own fuzz suite runs this
+kernel in interpreter mode against the same oracles).
+
+The unrolled edge loop caps the practical edge count (compile size and
+VPU work are both O(E)); the wrapper serves E <= 128 — the product's
+histogram-spec sizes (MakeBag.cxx:334-371 rows are ~30 bins) — and the
+chunked XLA compare-reduce remains for fine-grained (4096-edge)
+pre-histograms.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _hist_kernel(e_ref, v_ref, w_ref, o_ref, acc, *, E, n_steps, weighted):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    v = v_ref[:]                      # (bx, 128)
+    if weighted:
+        w = w_ref[:] != 0
+    rows = []
+    for j in range(E - 1):
+        e = e_ref[j]                  # scalar from SMEM
+        le = v <= e
+        if weighted:
+            le = jnp.logical_and(le, w)
+        rows.append(jnp.sum(le.astype(jnp.int32), axis=0))
+    # the last row is the weighted TOTAL (not a compare): NaN values must
+    # count into the unbounded tail bin, exactly like searchsorted-left
+    if weighted:
+        rows.append(jnp.sum(w.astype(jnp.int32), axis=0))
+    else:
+        rows.append(jnp.full((v.shape[1],), v.shape[0], jnp.int32))
+    acc[:, :] = acc[:, :] + jnp.stack(rows, axis=0)
+
+    @pl.when(i == n_steps - 1)
+    def _():
+        o_ref[:] = acc[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _hist_pallas(values2d, weights2d, edges_ext, interpret=False):
+    """values2d/weights2d: (R, 128); edges_ext: (E,) f32 WITH the +inf
+    total row appended and padded rows already zero-weighted. Returns
+    (E, 128) int32 per-lane cumulative counts."""
+    E = int(edges_ext.shape[0])
+    R = values2d.shape[0]
+    bx = min(R, 2048)
+    # grid must cover R exactly; R is padded to a bx multiple by caller
+    n_steps = R // bx
+    weighted = weights2d is not None
+    kernel = functools.partial(
+        _hist_kernel, E=E, n_steps=n_steps, weighted=weighted)
+    blk = pl.BlockSpec((bx, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM), blk]
+    args = [edges_ext, values2d]
+    if weighted:
+        in_specs.append(blk)
+        args.append(weights2d)
+    else:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(jnp.zeros((1,), jnp.int32))  # unused placeholder
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_steps,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((E, 128), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((E, 128), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((E, 128), jnp.int32)],
+        interpret=interpret,
+    )(*args)
+    return out
+
+
+def histogram_counts_pallas(values, edges, weights=None, interpret=False):
+    """Reference-convention counts ((E,) edges -> (E+1,) int32) via the
+    Pallas compare-accumulate kernel. Semantics identical to
+    stats.histogram.histogram_counts; serves f32 values with E <= 128.
+    """
+    v = values.reshape(-1).astype(jnp.float32)
+    n = v.shape[0]
+    E = int(edges.shape[0])
+    lanes = 128
+    bx = 2048
+    block = bx * lanes
+    pad = (-n) % block
+    if pad:
+        v = jnp.pad(v, (0, pad), constant_values=np.inf)
+    if weights is not None:
+        w = weights.reshape(-1).astype(jnp.int32)
+        if pad:
+            w = jnp.pad(w, (0, pad))
+    elif pad:
+        # +inf pads must not count into the +inf total row -> need weights
+        w = jnp.pad(jnp.ones((n,), jnp.int32), (0, pad))
+    else:
+        w = None
+    R = v.shape[0] // lanes
+    v2 = v.reshape(R, lanes)
+    w2 = None if w is None else w.reshape(R, lanes)
+    # final +inf row makes C[E] the (weighted) total
+    edges_ext = jnp.concatenate(
+        [edges.astype(jnp.float32), jnp.asarray([np.inf], jnp.float32)])
+    per_lane = _hist_pallas(v2, w2, edges_ext, interpret=interpret)
+    cum = per_lane.sum(axis=1)
+    first = cum[:1]
+    interior = cum[1:E] - cum[:E - 1]
+    tail = cum[E:] - cum[E - 1:E]
+    return jnp.concatenate([first, interior, tail])

@@ -95,8 +95,14 @@ def features8_jit(image, mask, *, sigma, spacing=(1.0, 1.0, 1.0), truncate=4.5):
 
 
 # the line-sweep kernel's two input ring buffers must fit in VMEM next to
-# the block pipeline: 2 * (2*rx+1) rows of (Y, Z) f32
-_SWEEP_RING_BUDGET = 60 * 1024 * 1024
+# the block pipeline AND the compiler's scoped temporaries. Round-4
+# recalibration (r4_probe14): at 512^3 the Mosaic stack wants ~42 MB of
+# temporaries on top of rings + block pipeline (a sigma=2.4 sweep, rings
+# 58 MB, failed compile at 122.7 MB scoped vs the 112 MB limit), so the
+# ring budget is 44 MB — sigma <= ~1.7 at 0.78 mm on a 512^2 slice; the
+# staged path (nc sweep + post_stream) measures within ~2% of the full
+# sweep there anyway.
+_SWEEP_RING_BUDGET = 44 * 1024 * 1024
 
 
 def _sweep_fits(sigma, spacing, shape, truncate=4.5):
@@ -110,9 +116,12 @@ def _sweep_fits(sigma, spacing, shape, truncate=4.5):
     return 2 * (2 * rx + 1) * Yp * Z * 4 <= _SWEEP_RING_BUDGET
 
 
-# the smoothing-only sweep has no output-block pipeline to feed, so its
-# rings can be larger (sigma <= ~4.2 at 0.78 mm on a 512^2 slice)
-_NC_RING_BUDGET = 90 * 1024 * 1024
+# the smoothing-only sweep has no stencil/eigen tail, so its compiler
+# temporaries are smaller and the rings can be larger than the full
+# sweep's (round-4 recalibration, same method as _SWEEP_RING_BUDGET):
+# sigma <= ~2.4 at 0.78 mm on a 512^2 slice untiled; larger radii go
+# through the Y-tiled form (fused_normalized_conv_sweep_tiled)
+_NC_RING_BUDGET = 66 * 1024 * 1024
 
 
 def _nc_sweep_fits(sigma, spacing, shape, truncate=4.5):

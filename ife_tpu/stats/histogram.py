@@ -63,6 +63,17 @@ def histogram_counts(
                else jnp.sum(w, dtype=jnp.int32))
         return tot[None]
 
+    # product-size edge lists on TPU go through the Pallas
+    # compare-accumulate kernel (one streaming pass, per-lane partials in
+    # VMEM — kernels/histogram.py); the chunked XLA compare-reduce below
+    # serves everything else (CPU, fine-grained 4096-edge pre-histograms,
+    # non-f32 dtypes)
+    if (E <= 128 and v.dtype == jnp.float32
+            and jax.devices()[0].platform == "tpu"):
+        from ife_tpu.kernels.histogram import histogram_counts_pallas
+
+        return histogram_counts_pallas(v, edges, w)
+
     def chunk_counts(vv, ww):
         """Cumulative compare-reduce over one chunk: (E,) int32 C[j] =
         sum w*(v <= e_j), plus the chunk total. The (E, chunk) compare

@@ -128,6 +128,32 @@ def test_histogram_counts_integer_values_chunked():
         [per[0], per[1] + per[2], per[3], per[4]])
 
 
+def test_histogram_counts_pallas_kernel_matches_oracle():
+    """The Pallas compare-accumulate kernel (interpreter mode) vs the
+    searchsorted oracle: duplicate edges, on-edge values, +/-inf, NaN
+    (tail bin), weighted and unweighted, padded and exact-block sizes."""
+    from ife_tpu.kernels.histogram import histogram_counts_pallas
+
+    rng = np.random.default_rng(9)
+    edges = np.sort(np.concatenate([rng.standard_normal(7), [0.25, 0.25]])
+                    ).astype(np.float32)
+    for n in (2048 * 128, 5000):
+        v = rng.standard_normal(n).astype(np.float32)
+        v[:3] = [np.inf, -np.inf, np.nan]
+        v[3 : 3 + edges.size] = edges
+        for weighted in (False, True):
+            w = ((rng.uniform(size=n) > 0.4).astype(np.int32)
+                 if weighted else None)
+            want = np.zeros(edges.size + 1, np.int64)
+            np.add.at(want, np.searchsorted(edges, v, "left"),
+                      w if weighted else 1)
+            got = np.asarray(histogram_counts_pallas(
+                jnp.asarray(v), jnp.asarray(edges),
+                None if w is None else jnp.asarray(w), interpret=True))
+            np.testing.assert_array_equal(got.astype(np.int64), want,
+                                          err_msg=f"n={n} w={weighted}")
+
+
 def test_batched_histogram_counts():
     rng = np.random.default_rng(1)
     v = rng.standard_normal((4, 1000))
