@@ -282,7 +282,7 @@ def bench_all(out_path="BENCH_DETAIL.json", resume=False):
         return resume and any(k.startswith(f"config{n}_") for k in detail)
 
     from ife_tpu.ops.eigen import eigenvalue_features
-    from ife_tpu.ops.features import features8, _sweep_fits
+    from ife_tpu.ops.features import features8, _sweep_fits, _sweep_rx_ok
     from ife_tpu.kernels.fused import (
         fused_features8, fused_features8_sweep, fused_hessian_eig_stream,
     )
@@ -323,7 +323,9 @@ def bench_all(out_path="BENCH_DETAIL.json", resume=False):
         # crashed the TPU worker via HBM exhaustion)
         if not on_tpu:
             return tuple(jnp.moveaxis(features8(v, m, s, spc), -1, 0))
-        k = (fused_features8_sweep if _sweep_fits(s, spc, v.shape)
+        # mirrors features8_auto's dispatch rule (rx crossover + VMEM fit)
+        k = (fused_features8_sweep
+             if _sweep_fits(s, spc, v.shape) and _sweep_rx_ok(s, spc)
              else fused_features8)
         return k(v, m, s, spc, stack=False)
 

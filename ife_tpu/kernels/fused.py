@@ -213,8 +213,7 @@ def _clamp_shift_y(s: jnp.ndarray, off: int) -> jnp.ndarray:
     raise ValueError(off)
 
 
-def _stream_kernel(x_ref, o0, o1, o2, o3, o4, o5, prev, prev_last, *,
-                   bx, hx, hy, hz, n_x):
+def _stream_kernel(x_ref, *refs, bx, hx, hy, hz, n_x, ext_halo=False):
     """Streaming Hessian+eig: 1D grid over x-slabs, NO manual halo DMA.
 
     The x stencil halo is carried ACROSS grid steps instead of re-fetched
@@ -232,7 +231,18 @@ def _stream_kernel(x_ref, o0, o1, o2, o3, o4, o5, prev, prev_last, *,
     of the 9.5 ms pass at 512^3): every byte moves through Mosaic's own
     block pipeline. Semantics identical: reference
     Hessian3DImageFilter.hxx:19-59 + Symmetric3x3EigenvalueSolver.h:33-132.
+
+    ext_halo=True: two extra (1, Y, Z) inputs carry the volume's x-halo
+    ROWS (e.g. ppermuted neighbor rows of a 1D-sharded block): the low
+    edge seeds prev_last from the lo row instead of the clamp replica,
+    and the final step's high x-layer reads the hi row — so a sharded
+    block computes its true interior derivatives WITHOUT materializing a
+    halo-extended copy of the whole block (~3 ms of pure copy at 512^3).
     """
+    if ext_halo:
+        lh_ref, rh_ref = refs[0], refs[1]
+        refs = refs[2:]
+    o0, o1, o2, o3, o4, o5, prev, prev_last = refs
     i = pl.program_id(0)
     dt = x_ref.dtype
     r2x = jnp.asarray(1.0 / (2.0 * hx), dt)
@@ -249,10 +259,12 @@ def _stream_kernel(x_ref, o0, o1, o2, o3, o4, o5, prev, prev_last, *,
         s0 = prev[:]
         # x layers for output rows r: global (i-1)*bx + r - 1 / + 1.
         # prev_last holds the clamped row -1 at the volume's low edge
-        # (step 0 seeds it with block 0's first row); the high edge
-        # clamps to prev's own last row on the final (re-read) step.
+        # (step 0 seeds it with block 0's first row — or the lo halo
+        # row); the high edge clamps to prev's own last row (or the hi
+        # halo row) on the final (re-read) step.
         sm = jnp.concatenate([prev_last[:], s0[:-1]], axis=0)
-        hi = jnp.where(i == n_x, s0[-1:], cur[:1])
+        hi_row = rh_ref[:] if ext_halo else s0[-1:]
+        hi = jnp.where(i == n_x, hi_row, cur[:1])
         sp = jnp.concatenate([s0[1:], hi], axis=0)
 
         core = s0
@@ -279,10 +291,10 @@ def _stream_kernel(x_ref, o0, o1, o2, o3, o4, o5, prev, prev_last, *,
 
     @pl.when(i == 0)
     def _():
-        # seed: row -1 := row 0 (ZeroFluxNeumann at the low x face); the
-        # lagged output block 0 is written with zeros and overwritten at
-        # step 1 while still resident
-        prev_last[:] = cur[:1]
+        # seed: row -1 := row 0 (ZeroFluxNeumann at the low x face) or
+        # the lo halo row; the lagged output block 0 is written with
+        # zeros and overwritten at step 1 while still resident
+        prev_last[:] = lh_ref[:] if ext_halo else cur[:1]
         zero = jnp.zeros_like(cur)
         for ref in (o0, o1, o2, o3, o4, o5):
             ref[:] = zero
@@ -294,9 +306,8 @@ def _stream_kernel(x_ref, o0, o1, o2, o3, o4, o5, prev, prev_last, *,
     prev[:] = cur
 
 
-def _features8_post_stream_kernel(s_ref, m_ref, o0, o1, o2, o3, o4, o5,
-                                  o6, o7, prev, prev_last, *, bx, hx, hy,
-                                  hz, n_x):
+def _features8_post_stream_kernel(s_ref, m_ref, *refs, bx, hx, hy,
+                                  hz, n_x, ext_halo=False):
     """Streaming post-smoothing features8: the _stream_kernel structure
     (1D grid over x-slabs, carried x halo in persistent VMEM, lagged
     output map) extended with the gradient-magnitude/smoothed channels and
@@ -307,7 +318,15 @@ def _features8_post_stream_kernel(s_ref, m_ref, o0, o1, o2, o3, o4, o5,
     measured: 9.07 vs 9.54 ms at 512^3).
 
     The mask block rides the OUTPUT index map (block i-1): it is consumed
-    only when the features of block i-1 are emitted."""
+    only when the features of block i-1 are emitted.
+
+    ext_halo: as in _stream_kernel — two (1, Y, Z) x-halo ROW inputs
+    replace the edge clamps at the x faces (the zero-copy sharded path).
+    """
+    if ext_halo:
+        lh_ref, rh_ref = refs[0], refs[1]
+        refs = refs[2:]
+    o0, o1, o2, o3, o4, o5, o6, o7, prev, prev_last = refs
     i = pl.program_id(0)
     dt = s_ref.dtype
     r2x = jnp.asarray(1.0 / (2.0 * hx), dt)
@@ -323,7 +342,8 @@ def _features8_post_stream_kernel(s_ref, m_ref, o0, o1, o2, o3, o4, o5,
     def _():
         s0 = prev[:]
         sm = jnp.concatenate([prev_last[:], s0[:-1]], axis=0)
-        hi = jnp.where(i == n_x, s0[-1:], cur[:1])
+        hi_row = rh_ref[:] if ext_halo else s0[-1:]
+        hi = jnp.where(i == n_x, hi_row, cur[:1])
         sp = jnp.concatenate([s0[1:], hi], axis=0)
 
         dxx = (sp - 2 * s0 + sm) * rxx
@@ -353,7 +373,7 @@ def _features8_post_stream_kernel(s_ref, m_ref, o0, o1, o2, o3, o4, o5,
 
     @pl.when(i == 0)
     def _():
-        prev_last[:] = cur[:1]
+        prev_last[:] = lh_ref[:] if ext_halo else cur[:1]
         zero = jnp.zeros_like(cur)
         for ref in (o0, o1, o2, o3, o4, o5, o6, o7):
             ref[:] = zero
@@ -1085,30 +1105,53 @@ def fused_hessian_eig_stream(
     block: int = 4,
     interpret: bool = False,
     stack: bool = True,
+    x_halo=None,
 ):
     """Streaming-halo variant of fused_hessian_eig: 1D grid over x-slabs
     with full (Y, Z) extent per block, the x halo carried across grid
     steps in persistent VMEM (see _stream_kernel), every input/output byte
     moved by Mosaic's own block pipeline — no manual window DMA, no halo
     read amplification. Same outputs/ordering as fused_hessian_eig.
+
+    x_halo: optional ((1, Y, Z), (1, Y, Z)) pair of the volume's x-halo
+    ROWS (row -1 and row X). When given, the kernel consumes them at the
+    x faces instead of ZeroFluxNeumann clamping — this is how a
+    1D-sharded block computes its exact interior derivatives with NO
+    halo-extended copy of the block (~3 ms of pure copy saved per pass
+    at 512^3, SCALING_TPU1 12.8 -> ~9.5 ms).
     """
     X, Y, Zin = x.shape
+    ext_halo = x_halo is not None
     Z = Zin if interpret else -(-Zin // 128) * 128
     Yp = Y if interpret else -(-Y // 8) * 8
     if (Yp, Z) != (Y, Zin):
-        x = jnp.pad(x, ((0, 0), (0, Yp - Y), (0, Z - Zin)), mode="edge")
+        pads = ((0, 0), (0, Yp - Y), (0, Z - Zin))
+        x = jnp.pad(x, pads, mode="edge")
+        if ext_halo:
+            x_halo = tuple(jnp.pad(h, pads, mode="edge") for h in x_halo)
     bx, Xp = _pick_block(X, block)
     if Xp != X:
-        x = jnp.pad(x, ((0, Xp - X), (0, 0), (0, 0)), mode="edge")
+        if ext_halo:
+            # slack rows replicate the last row, but row X itself must be
+            # the hi halo row (the kept output at row X-1 reads it); this
+            # concat costs a copy — only on non-bx-divisible extents
+            tail = [x_halo[1]] + [x[-1:]] * (Xp - X - 1)
+            x = jnp.concatenate([x] + tail, axis=0)
+        else:
+            x = jnp.pad(x, ((0, Xp - X), (0, 0), (0, 0)), mode="edge")
     n_x = Xp // bx
     hx, hy, hz = (float(s) for s in spacing)
 
     kernel = functools.partial(
-        _stream_kernel, bx=bx, hx=hx, hy=hy, hz=hz, n_x=n_x
+        _stream_kernel, bx=bx, hx=hx, hy=hy, hz=hz, n_x=n_x,
+        ext_halo=ext_halo,
     )
     in_spec = pl.BlockSpec(
         (bx, Yp, Z), lambda i: (jnp.minimum(i, n_x - 1), 0, 0),
         memory_space=pltpu.VMEM,
+    )
+    halo_spec = pl.BlockSpec(
+        (1, Yp, Z), lambda i: (0, 0, 0), memory_space=pltpu.VMEM,
     )
     out_spec = pl.BlockSpec(
         (bx, Yp, Z), lambda i: (jnp.maximum(i - 1, 0), 0, 0),
@@ -1117,7 +1160,7 @@ def fused_hessian_eig_stream(
     outs = pl.pallas_call(
         kernel,
         grid=(n_x + 1,),
-        in_specs=[in_spec],
+        in_specs=[in_spec] + ([halo_spec, halo_spec] if ext_halo else []),
         out_specs=[out_spec] * 6,
         out_shape=[jax.ShapeDtypeStruct((Xp, Yp, Z), x.dtype)] * 6,
         scratch_shapes=[
@@ -1128,7 +1171,7 @@ def fused_hessian_eig_stream(
             vmem_limit_bytes=_VMEM_LIMIT
         ),
         interpret=interpret,
-    )(x)
+    )(x, *(x_halo if ext_halo else ()))
     if (Xp, Yp, Z) != (X, Y, Zin):
         outs = [o[:X, :Y, :Zin] for o in outs]
     if stack:
@@ -1165,28 +1208,22 @@ def fused_features8(
 
     m = jnp.clip(mask, 0, 1)
     use_nc_sweep = False
-    nc_tiles = None
     if not interpret and jax.devices()[0].platform == "tpu":
-        from ife_tpu.ops.features import _nc_sweep_fits, _nc_tile_plan
+        from ife_tpu.ops.features import _nc_sweep_fits, _sweep_rx_ok
 
-        use_nc_sweep = _nc_sweep_fits(sigma, spacing, image.shape, truncate)
-        if not use_nc_sweep:
-            nc_tiles = _nc_tile_plan(sigma, spacing, image.shape, truncate)
+        use_nc_sweep = (_nc_sweep_fits(sigma, spacing, image.shape,
+                                       truncate)
+                        and _sweep_rx_ok(sigma, spacing, truncate))
     if use_nc_sweep:
-        # smoothing as one line-sweep pass (3 volumes of traffic) instead
-        # of 6 MXU passes + divide (8) — serves the staged path's sigma
-        # range up to ~4.2 at 0.78 mm on a 512^2 slice
+        # small radii: smoothing as one line-sweep pass (3 volumes of
+        # traffic) beats the 6-MXU-pass pipeline
         s = fused_normalized_conv_sweep(
             image, m.astype(image.dtype), sigma, spacing, truncate
         )
-    elif nc_tiles is not None:
-        # Y-tiled sweep: same kernel on radius-extended Y slabs — extends
-        # the one-pass smoothing to sigma ~9 at 512^3 (round-3 gap)
-        s = fused_normalized_conv_sweep_tiled(
-            image, m.astype(image.dtype), sigma, spacing, truncate,
-            n_tiles=nc_tiles
-        )
     else:
+        # larger radii: the MXU band-einsum path is ~radius-independent
+        # (~23 ms/512^3) while the sweep's tap cost grows linearly with
+        # the radius (r4_probe14/15) — the measured crossover is rx ~ 10
         s = normalized_gaussian_convolution(
             image, m.astype(image.dtype), sigma, spacing, truncate
         )
@@ -1293,6 +1330,7 @@ def fused_features8_post_stream(
     interpret: bool = False,
     stack: bool = True,
     pre_padded: bool = False,
+    x_halo=None,
 ):
     """Streaming-halo variant of fused_features8_post: smoothed volume +
     mask -> the 8 masked feature channels, 1D grid over x-slabs with the
@@ -1307,7 +1345,14 @@ def fused_features8_post_stream(
     volume (its own edge clamps then touch only the sliced-away border
     layer, whose interior neighbors are the real halo data) and the core
     is sliced from the result.
+
+    x_halo: optional ((1, Y, Z), (1, Y, Z)) x-halo ROWS of `s` — the
+    zero-copy alternative to pre_padded for 1D (x-sharded) blocks (see
+    fused_hessian_eig_stream). Mutually exclusive with pre_padded.
     """
+    ext_halo = x_halo is not None
+    if ext_halo and pre_padded:
+        raise ValueError("x_halo and pre_padded are mutually exclusive")
     if pre_padded:
         X, Y, Zin = s.shape[0] - 2, s.shape[1] - 2, s.shape[2]
         # the border layer of the mask is never kept; replicate-pad it so
@@ -1323,19 +1368,30 @@ def fused_features8_post_stream(
         pads = ((0, 0), (0, Yp - Yw), (0, Z - Zin))
         s = jnp.pad(s, pads, mode="edge")
         m = jnp.pad(m, pads, mode="edge")
+        if ext_halo:
+            x_halo = tuple(jnp.pad(h, pads, mode="edge") for h in x_halo)
     bx, Xp = _pick_block(Xw, block)
     if Xp != Xw:
-        s = jnp.pad(s, ((0, Xp - Xw), (0, 0), (0, 0)), mode="edge")
+        if ext_halo:
+            # row X must be the hi halo row (see fused_hessian_eig_stream)
+            tail = [x_halo[1]] + [s[-1:]] * (Xp - Xw - 1)
+            s = jnp.concatenate([s] + tail, axis=0)
+        else:
+            s = jnp.pad(s, ((0, Xp - Xw), (0, 0), (0, 0)), mode="edge")
         m = jnp.pad(m, ((0, Xp - Xw), (0, 0), (0, 0)), mode="edge")
     n_x = Xp // bx
     hx, hy, hz = (float(v) for v in spacing)
 
     kernel = functools.partial(
-        _features8_post_stream_kernel, bx=bx, hx=hx, hy=hy, hz=hz, n_x=n_x
+        _features8_post_stream_kernel, bx=bx, hx=hx, hy=hy, hz=hz,
+        n_x=n_x, ext_halo=ext_halo,
     )
     in_spec = pl.BlockSpec(
         (bx, Yp, Z), lambda i: (jnp.minimum(i, n_x - 1), 0, 0),
         memory_space=pltpu.VMEM,
+    )
+    halo_spec = pl.BlockSpec(
+        (1, Yp, Z), lambda i: (0, 0, 0), memory_space=pltpu.VMEM,
     )
     out_spec = pl.BlockSpec(
         (bx, Yp, Z), lambda i: (jnp.maximum(i - 1, 0), 0, 0),
@@ -1346,7 +1402,8 @@ def fused_features8_post_stream(
         grid=(n_x + 1,),
         # the mask block rides the OUTPUT (lagged) index map — it is
         # consumed when block i-1's features are emitted
-        in_specs=[in_spec, out_spec],
+        in_specs=[in_spec, out_spec]
+        + ([halo_spec, halo_spec] if ext_halo else []),
         out_specs=[out_spec] * 8,
         out_shape=[jax.ShapeDtypeStruct((Xp, Yp, Z), s.dtype)] * 8,
         scratch_shapes=[
@@ -1357,7 +1414,7 @@ def fused_features8_post_stream(
             vmem_limit_bytes=_VMEM_LIMIT
         ),
         interpret=interpret,
-    )(s, m.astype(s.dtype))
+    )(s, m.astype(s.dtype), *(x_halo if ext_halo else ()))
     lo = 1 if pre_padded else 0
     if (Xp, Yp, Z) != (X + lo, Y + lo, Zin) or pre_padded:
         outs = [o[lo:lo + X, lo:lo + Y, :Zin] for o in outs]

@@ -135,9 +135,14 @@ def _nc_sweep_fits(sigma, spacing, shape, truncate=4.5):
 
 def _nc_tile_plan(sigma, spacing, shape, truncate=4.5, max_tiles=4):
     """Smallest Y-tile count (2..max_tiles) whose radius-extended tiles
-    fit the nc sweep's VMEM rings, or None. Extends the one-pass
-    smoothing kernel past its full-extent VMEM limit (the round-3 gap:
-    sigma=4.8 at 512^3 fell back to the band-einsum staged path)."""
+    fit the nc sweep's VMEM rings, or None.
+
+    NOTE (round-4 measurement, r4_probe14/15): tiling extends the sweep
+    kernel's VMEM reach, but the sweep's per-row tap work scales with
+    the radius while the MXU band-einsum smoothing is ~flat — at 512^3
+    the 3-tiled sweep measured 71.6 ms at sigma=4.8 vs 22.8 for the
+    einsum path, so the AUTO dispatchers no longer use tiling; it
+    remains available (and exactly tested) for explicit callers."""
     import math
 
     ry = max(1, math.ceil(truncate * float(sigma) / float(spacing[1])))
@@ -147,6 +152,23 @@ def _nc_tile_plan(sigma, spacing, shape, truncate=4.5, max_tiles=4):
         if _nc_sweep_fits(sigma, spacing, (shape[0], yt, shape[2]), truncate):
             return n
     return None
+
+
+# Dispatch crossover (r4_probe14/15, 512^3 and 256^3 measurements): the
+# sweep kernels' per-row tap cost grows ~linearly with the smoothing
+# radius, while the MXU band-einsum smoothing + post_stream path is
+# ~radius-independent (30-32 ms at 512^3 for sigma 2.4/3.5/4.8). The
+# sweeps win while the radius is small (sigma=1.2/512^3: 21.8 vs ~30),
+# lose past rx ~ 10-14 (sigma=2.4/256^3: 6.0 vs 4.7). rx <= 10 keeps
+# every measured win on the sweep side.
+_SWEEP_RX_MAX = 10
+
+
+def _sweep_rx_ok(sigma, spacing, truncate=4.5):
+    import math
+
+    return math.ceil(truncate * float(sigma) / float(spacing[0])) \
+        <= _SWEEP_RX_MAX
 
 
 def normalized_convolution_auto(image, certainty, sigma,
@@ -166,21 +188,16 @@ def normalized_convolution_auto(image, certainty, sigma,
     from ife_tpu.ops.stencil import normalized_gaussian_convolution
 
     c = jnp.asarray(certainty).astype(image.dtype)
-    if jax.devices()[0].platform == "tpu" and image.ndim == 3:
-        if _nc_sweep_fits(sigma, spacing, image.shape, truncate):
-            from ife_tpu.kernels.fused import fused_normalized_conv_sweep
+    if (jax.devices()[0].platform == "tpu" and image.ndim == 3
+            and _nc_sweep_fits(sigma, spacing, image.shape, truncate)
+            and _sweep_rx_ok(sigma, spacing, truncate)):
+        from ife_tpu.kernels.fused import fused_normalized_conv_sweep
 
-            return fused_normalized_conv_sweep(
-                image, c, float(sigma), tuple(spacing), truncate)
-        n_tiles = _nc_tile_plan(sigma, spacing, image.shape, truncate)
-        if n_tiles is not None:
-            from ife_tpu.kernels.fused import (
-                fused_normalized_conv_sweep_tiled,
-            )
-
-            return fused_normalized_conv_sweep_tiled(
-                image, c, float(sigma), tuple(spacing), truncate,
-                n_tiles=n_tiles)
+        return fused_normalized_conv_sweep(
+            image, c, float(sigma), tuple(spacing), truncate)
+    # larger radii: the MXU band-einsum separable path — measured
+    # radius-independent (~23 ms/512^3) where the sweep's tap cost grows
+    # linearly (31 ms at sigma=2.4, 72 tiled at 4.8 — r4_probe14/15)
     return normalized_gaussian_convolution(
         image, c, float(sigma), tuple(spacing), truncate)
 
@@ -189,26 +206,27 @@ def features8_auto(image, mask, sigma, spacing=(1.0, 1.0, 1.0), truncate=4.5):
     """features8 with automatic backend dispatch on TPU; the XLA-composed
     expression elsewhere. Returns (X, Y, Z, 8) either way.
 
-    TPU dispatch (512^3 v5e, loop-amortized inner=32; benchmarks/out/
-    r3_batch5.txt):
-      * scales whose smoothing ring fits VMEM (sigma <= ~2.8 at 0.78 mm
-        spacing on a 512^2 slice): fused_features8_sweep — the ENTIRE
-        pipeline as a one-row-per-step line sweep (19.1 ms at sigma=1.0
-        vs 31.1 for the windowed tap kernel and ~47 for the staged path;
-        42 ms at sigma=2.4 vs ~51 staged)
-      * larger scales: the staged path (MXU band-einsum smoothing + the
-        post-smoothing Pallas kernel).
+    TPU dispatch (round-4 measurements, r4_probe14/15, loop-amortized):
+      * small radii (rx <= 10 voxels AND the VMEM rings fit):
+        fused_features8_sweep — the ENTIRE pipeline as a line sweep
+        (16.8 ms at sigma=0.6, 21.8 at 1.2, 512^3);
+      * larger radii: MXU band-einsum smoothing + the STREAMING
+        post-smoothing kernel (fused_features8_post_stream) — measured
+        ~radius-INDEPENDENT (30.8/32.2/30.1 ms at sigma 2.4/3.5/4.8,
+        512^3) because the MXU eats the growing tap count while the
+        sweep's per-row ring-tap work grows linearly with it.
 
     History: a fully-fused kernel with in-kernel MXU matmuls
     (fused_features8_full, round 2) was no faster than staged and produced
     wrong derivative channels on real hardware; docs/design.md records the
-    negative result and the fusion ladder (staged -> xs -> tap -> sweep)
-    that reached the goal with strictly VPU-shaped in-kernel smoothing.
-    On-chip parity of the dispatched kernels is gated by bench.py
+    negative result, the fusion ladder (staged -> xs -> tap -> sweep),
+    and the round-4 measurements that moved large radii back to the MXU.
+    On-chip parity of every dispatched kernel is gated by bench.py
     --verify.
     """
     if jax.devices()[0].platform == "tpu" and image.ndim == 3:
-        if _sweep_fits(sigma, spacing, image.shape, truncate):
+        if (_sweep_fits(sigma, spacing, image.shape, truncate)
+                and _sweep_rx_ok(sigma, spacing, truncate)):
             from ife_tpu.kernels.fused import fused_features8_sweep
 
             out = fused_features8_sweep(

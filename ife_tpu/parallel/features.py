@@ -188,12 +188,23 @@ def _features8_block(
     s = smooth(img * mf) / smooth(mf)
 
     if use_fused:
-        # per-shard STREAMING Pallas kernel: the halo-extended block is
-        # the pre-padded input; the stream kernel carries the x halo
-        # across grid steps (no manual window DMA — the windowed kernel's
-        # DMA overhead was the round-3 sharded wrapper's 2.3x)
+        # per-shard STREAMING Pallas kernel (no manual window DMA — the
+        # windowed kernel's DMA overhead was the round-3 sharded
+        # wrapper's 2.3x)
         from ife_tpu.kernels.fused import fused_features8_post_stream
 
+        if set(sharded_axes) <= {0}:
+            # 1D x-sharded mesh: zero-copy halo ROWS of the smoothed
+            # field instead of materializing an extended block
+            if 0 in sharded_axes:
+                from ife_tpu.parallel.halo import halo_slabs
+
+                halo = halo_slabs(s, 0, 1, sharded_axes[0])
+            else:
+                halo = None
+            return fused_features8_post_stream(
+                s, m, tuple(spacing), stack=False, x_halo=halo
+            )
         s_ext = _halo_or_edge_pad(s, sharded_axes)
         return fused_features8_post_stream(
             s_ext, m, tuple(spacing), pre_padded=True, stack=False
@@ -293,8 +304,13 @@ def sharded_features8(
 
     spc = tuple(float(v) for v in spacing)
     if fused:
+        from ife_tpu.ops.features import _sweep_rx_ok
+
         fits, radii = _sweep_block_plan(
             image.shape, mesh, float(sigma), spc, float(truncate))
+        # same crossover as features8_auto: past rx ~10 the staged
+        # MXU-smoothing path beats the sweep (r4_probe14/15)
+        fits = fits and _sweep_rx_ok(float(sigma), spc, float(truncate))
     else:
         fits = False
     if fused and fits:
@@ -344,12 +360,26 @@ def sharded_hessian_eig(
 
     def block(img):
         if fused:
-            # streaming kernel on the halo-extended block: treat the
-            # extension as part of the volume (the kernel's own edge
-            # clamps then touch only the sliced-away border layer, whose
-            # inward neighbors are real halo data); no manual-DMA windows
             from ife_tpu.kernels.fused import fused_hessian_eig_stream
 
+            if set(saxes) <= {0}:
+                # 1D (x-sharded) mesh: ZERO-COPY halo — the two neighbor
+                # ROWS ride into the stream kernel as separate inputs
+                # (x_halo), no halo-extended materialization of the block
+                # (~3 ms of pure copy at 512^3; y edges are true volume
+                # edges handled by the kernel's own clamp)
+                from ife_tpu.parallel.halo import halo_slabs
+
+                if 0 in saxes:
+                    lo, hi = halo_slabs(img, 0, 1, saxes[0])
+                    halo = (lo, hi)
+                else:
+                    halo = None  # single block: kernel clamps = edges
+                return fused_hessian_eig_stream(
+                    img, spc, block=2, stack=False, x_halo=halo)
+            # 2D mesh: streaming kernel on the halo-extended block (the
+            # kernel's own edge clamps touch only the sliced-away border
+            # layer, whose inward neighbors are real halo data)
             core = img.shape
             ext = _halo_or_edge_pad(img, saxes)
             out = fused_hessian_eig_stream(ext, spc, block=2, stack=False)

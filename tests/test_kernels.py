@@ -465,6 +465,58 @@ def test_stream_kernel_extended_block_slice_trick():
     _assert_feature_parity(got, want, rtol=1e-9)
 
 
+def test_stream_kernel_x_halo_rows():
+    """x_halo row inputs (the zero-copy sharded path): computing two x
+    halves with each other's boundary rows as halo must reproduce the
+    full-volume kernel exactly — including a non-block-divisible half."""
+    from ife_tpu.kernels.fused import fused_hessian_eig_stream
+
+    for X in (12, 14):  # 14/2=7: odd halves exercise the concat fallback
+        x = synthetic_ct((X, 10, 16), seed=14, dtype=jnp.float64).data
+        want = np.stack([np.asarray(o) for o in fused_hessian_eig_stream(
+            x, SPACING, block=2, interpret=True, stack=False)], -1)
+        h = X // 2
+        lo_half = fused_hessian_eig_stream(
+            x[:h], SPACING, block=2, interpret=True, stack=False,
+            x_halo=(x[:1], x[h:h + 1]))
+        hi_half = fused_hessian_eig_stream(
+            x[h:], SPACING, block=2, interpret=True, stack=False,
+            x_halo=(x[h - 1:h], x[-1:]))
+        got = np.concatenate([
+            np.stack([np.asarray(o) for o in lo_half], -1),
+            np.stack([np.asarray(o) for o in hi_half], -1),
+        ], axis=0)
+        _assert_feature_parity(got, want, rtol=1e-12)
+
+
+def test_post_stream_x_halo_rows():
+    """x_halo on the post kernel: two x halves with each other's boundary
+    rows must reproduce the full-volume result exactly."""
+    from ife_tpu.core.volume import sphere_mask
+    from ife_tpu.kernels.fused import fused_features8_post_stream
+    from ife_tpu.ops.stencil import gaussian_smooth
+
+    x = synthetic_ct((14, 10, 16), seed=15, dtype=jnp.float64).data
+    m = sphere_mask((14, 10, 16), 0.45).data
+    s = gaussian_smooth(x, 1.0, SPACING)
+    want = np.moveaxis(np.asarray(fused_features8_post_stream(
+        s, m, SPACING, interpret=True)), 0, -1)
+    h = 7
+    halves = []
+    for sl, halo in (
+        (slice(0, h), (s[:1], s[h:h + 1])),
+        (slice(h, None), (s[h - 1:h], s[-1:])),
+    ):
+        out = fused_features8_post_stream(
+            s[sl], m[sl], SPACING, interpret=True, x_halo=halo)
+        halves.append(np.moveaxis(np.asarray(out), 0, -1))
+    got = np.concatenate(halves, axis=0)
+    for c in (0, 1):
+        sc = max(np.abs(want[..., c]).max(), 1.0)
+        assert np.abs(got[..., c] - want[..., c]).max() / sc < 1e-12, c
+    _assert_feature_parity(got[..., 2:], want[..., 2:], rtol=1e-12)
+
+
 def test_nc_sweep_tiled_matches_untiled():
     """Y-tiled sweep assembly must be exactly the untiled result: kept
     rows never touch a tile-edge clamp (radius-extended slabs), true
