@@ -102,6 +102,25 @@ def test_sharded_masked_histogram_matches_single_device():
     assert got.sum() == float(np.asarray((mask != 0)).sum())
 
 
+def test_sharded_masked_histogram_chunked_scan_path():
+    """Per-shard sizes past histogram_counts' chunk threshold exercise
+    the lax.scan accumulator INSIDE shard_map — the path that failed the
+    vma check on-chip at 512^3 (round-4 sharded bin-edges CLI) while
+    small CPU-test shards sailed through. Fine-grained edges force the
+    small-chunk regime so the test stays cheap."""
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.standard_normal((32, 64, 64)), jnp.float32)
+    mask = jnp.asarray((rng.uniform(size=(32, 64, 64)) > 0.4), jnp.uint8)
+    mesh = make_mesh(2, ("x",))
+    edges = jnp.asarray(np.linspace(-3, 3, 4097), jnp.float32)
+    # per shard: 16*64*64 = 65536 > the 4097-edge chunk (~32k) -> scan
+    want = np.asarray(histogram_counts(img, edges,
+                                       (mask != 0).astype(jnp.int32)))
+    got = np.asarray(sharded_masked_histogram(
+        shard_volume(img, mesh), shard_volume(mask, mesh), edges, mesh))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_histogram_quantile_edges_approximates_exact():
     rng = np.random.default_rng(0)
     samples = rng.normal(size=200_000)
