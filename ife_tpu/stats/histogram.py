@@ -63,13 +63,13 @@ def histogram_counts(
                else jnp.sum(w, dtype=jnp.int32))
         return tot[None]
 
-    # product-size edge lists on TPU go through the Pallas
-    # compare-accumulate kernel (one streaming pass, per-lane partials in
-    # VMEM — kernels/histogram.py); the chunked XLA compare-reduce below
-    # serves everything else (CPU, fine-grained 4096-edge pre-histograms,
-    # non-f32 dtypes)
-    if (E <= 128 and v.dtype == jnp.float32
-            and jax.devices()[0].platform == "tpu"):
+    # f32 histograms on TPU go through the Pallas compare-accumulate
+    # kernel (streaming passes with per-lane partials in VMEM —
+    # kernels/histogram.py; 39 vs 137 ms for nine 31-edge 512^3
+    # histograms, ~0.2 vs 1.76 s for a 4096-edge fine histogram,
+    # r4_probe16); the chunked XLA compare-reduce below serves CPU and
+    # non-f32 dtypes
+    if v.dtype == jnp.float32 and jax.devices()[0].platform == "tpu":
         from ife_tpu.kernels.histogram import histogram_counts_pallas
 
         return histogram_counts_pallas(v, edges, w)

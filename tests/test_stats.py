@@ -154,6 +154,23 @@ def test_histogram_counts_pallas_kernel_matches_oracle():
                                           err_msg=f"n={n} w={weighted}")
 
 
+def test_histogram_counts_pallas_multiblock_edges():
+    """E > 128 runs as independent cumulative edge blocks (multiple
+    passes) — counts must still match the oracle exactly."""
+    from ife_tpu.kernels.histogram import histogram_counts_pallas
+
+    rng = np.random.default_rng(10)
+    edges = np.linspace(-2.5, 2.5, 300).astype(np.float32)
+    v = rng.standard_normal(4000).astype(np.float32)
+    w = (rng.uniform(size=v.size) > 0.5).astype(np.int32)
+    want = np.zeros(edges.size + 1, np.int64)
+    np.add.at(want, np.searchsorted(edges, v, "left"), w)
+    got = np.asarray(histogram_counts_pallas(
+        jnp.asarray(v), jnp.asarray(edges), jnp.asarray(w),
+        interpret=True))
+    np.testing.assert_array_equal(got.astype(np.int64), want)
+
+
 def test_batched_histogram_counts():
     rng = np.random.default_rng(1)
     v = rng.standard_normal((4, 1000))
