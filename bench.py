@@ -384,10 +384,18 @@ def bench_all(out_path="BENCH_DETAIL.json", resume=False):
             w512 = m512.ravel().astype(jnp.int32)
 
             def hist8(v, w, e, *chans):
+                # every histogram must be LOOP-CARRIED or XLA hoists the
+                # (loop-invariant) channel binnings out of the timing
+                # loop and the stage reads 9x too fast (caught round 4:
+                # 11 ms "measured" vs ~40 real — the composed one-jit
+                # and the standalone probe16 agree on ~40). The carried
+                # dependence rides through the EDGES (a tiny SMEM input):
+                # f32*0 of a carried value cannot be folded (inf/nan).
+                e_t = e + v.reshape(-1)[0] * jnp.asarray(0.0, v.dtype)
                 counts = jnp.stack(
-                    [histogram_counts(c.ravel(), e, weights=w)
+                    [histogram_counts(c.ravel(), e_t, weights=w)
                      for c in chans]
-                    + [histogram_counts(v.ravel(), e, weights=w)]
+                    + [histogram_counts(v.ravel(), e_t, weights=w)]
                 )
                 return v + counts.sum().astype(v.dtype) * jnp.asarray(
                     0.0, v.dtype)
