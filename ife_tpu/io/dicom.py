@@ -226,9 +226,10 @@ def read_dicom_series(paths: List[str]) -> Tuple[Volume, Dict[str, str]]:
             # Offset Table, the last fragment is the frame
             frame = frags[-1]
             if d.get("_ts", b"").decode() == _JPEG_LL:
-                from ife_tpu.io.jpegll import decode_jpeg_lossless
+                from ife_tpu.io.jpegll import decode_jpeg_lossless_fast
 
-                raw = decode_jpeg_lossless(frame)[:rows, :cols].reshape(-1)
+                raw = decode_jpeg_lossless_fast(
+                    frame, rows, cols)[:rows, :cols].reshape(-1)
                 if bits == 8:
                     arr = raw.astype(np.uint8)
                     arr = arr.view(np.int8) if signed else arr

@@ -77,6 +77,13 @@ def lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_double), ctypes.c_int32,
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64),
     ]
+    if hasattr(L, "ife_jll_decode"):  # older builds may predate it
+        L.ife_jll_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int32, ctypes.c_int32,
+        ]
+        L.ife_jll_decode.restype = ctypes.c_int
     _lib = L
     return _lib
 
@@ -185,3 +192,22 @@ def histogram_channels_native(values: np.ndarray, edges: np.ndarray,
         m_ptr, counts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
     )
     return counts
+
+
+def jll_decode_native(data: bytes, rows: int, cols: int):
+    """Decode a JPEG Lossless SV1 frame via the C++ decoder; (rows, cols)
+    uint16 array, or None when the library (or symbol) is unavailable.
+    Raises ValueError on malformed streams (same classes the Python
+    decoder rejects)."""
+    L = lib()
+    if L is None or not hasattr(L, "ife_jll_decode"):
+        return None
+    out = np.empty((rows, cols), dtype=np.uint16)
+    rc = L.ife_jll_decode(
+        data, len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        rows, cols,
+    )
+    if rc != 0:
+        raise ValueError(f"JPEG lossless decode failed (native rc={rc})")
+    return out

@@ -349,4 +349,190 @@ void ife_histogram_channels(const float* values, int64_t n, int32_t n_hist,
   }
 }
 
+// ---------------------------------------------------------------------------
+// JPEG Lossless (process 14) decoder — ITU-T T.81 Annex H
+// ---------------------------------------------------------------------------
+// Native fast path for ife_tpu/io/jpegll.py (the DICOM transfer syntax
+// 1.2.840.10008.1.2.4.70): the pure-Python decoder costs ~1-2 s per CT
+// slice; this one decodes the same streams in milliseconds. Semantics
+// mirror the Python reference exactly (single-component SOF3, any
+// selection value 1-7, Huffman magnitude categories + EXTEND, modulo-2^16
+// arithmetic, byte-stuffed entropy segment, point transform).
+
+namespace jll {
+
+struct BitReader {
+  const uint8_t* buf;
+  size_t nbits;
+  size_t pos = 0;
+  int bit() {
+    if (pos >= nbits) return 1;  // T.81 decoders pad with 1-bits
+    int b = (buf[pos >> 3] >> (7 - (pos & 7))) & 1;
+    ++pos;
+    return b;
+  }
+  uint32_t bits(int k) {
+    uint32_t v = 0;
+    while (k--) v = (v << 1) | bit();
+    return v;
+  }
+};
+
+struct Huff {
+  uint32_t first_code[17];
+  uint32_t count[17];
+  uint32_t offset[17];
+  std::vector<uint8_t> vals;
+  void build(const uint8_t* bits, const uint8_t* huffval, int nv) {
+    vals.assign(huffval, huffval + nv);
+    uint32_t code = 0;
+    uint32_t k = 0;
+    for (int L = 1; L <= 16; ++L) {
+      first_code[L] = code;
+      offset[L] = k;
+      count[L] = bits[L - 1];
+      code += count[L];
+      k += count[L];
+      code <<= 1;
+    }
+  }
+  int decode(BitReader& br) const {
+    uint32_t code = 0;
+    for (int L = 1; L <= 16; ++L) {
+      code = (code << 1) | br.bit();
+      if (count[L] && code >= first_code[L] &&
+          code < first_code[L] + count[L])
+        return vals[offset[L] + (code - first_code[L])];
+    }
+    return -1;
+  }
+};
+
+}  // namespace jll
+
+// Decode a single-component SOF3 stream into out (rows*cols uint16, raw
+// stored values). rows/cols must match the SOF3 frame header (the DICOM
+// caller knows them from tags). Returns 0 on success, <0 on error.
+int ife_jll_decode(const uint8_t* d, int64_t len, uint16_t* out,
+                   int32_t rows, int32_t cols) {
+  auto u16at = [&](int64_t p) -> int { return (d[p] << 8) | d[p + 1]; };
+  if (len < 4 || u16at(0) != 0xFFD8) return -1;
+  int64_t pos = 2;
+  jll::Huff tables[4];
+  bool have[4] = {false, false, false, false};
+  int precision = 0, frows = 0, fcols = 0;
+  while (pos + 4 <= len) {
+    int marker = u16at(pos);
+    pos += 2;
+    if (marker == 0xFFD9) break;
+    if (marker < 0xFFC0 || marker > 0xFFFE) return -2;
+    int seglen = u16at(pos);
+    if (pos + seglen > len) return -2;
+    const uint8_t* seg = d + pos + 2;
+    int segn = seglen - 2;
+    if (marker == 0xFFC3) {
+      if (segn < 6) return -2;
+      precision = seg[0];
+      frows = (seg[1] << 8) | seg[2];
+      fcols = (seg[3] << 8) | seg[4];
+      if (seg[5] != 1) return -3;  // multi-component unsupported
+    } else if (marker == 0xFFC4) {
+      int p = 0;
+      while (p + 17 <= segn) {
+        int th = seg[p] & 0x0F;
+        int nv = 0;
+        for (int i = 0; i < 16; ++i) nv += seg[p + 1 + i];
+        if (p + 17 + nv > segn) return -2;
+        if (th < 4) {
+          tables[th].build(seg + p + 1, seg + p + 17, nv);
+          have[th] = true;
+        }
+        p += 17 + nv;
+      }
+    } else if (marker == 0xFFDA) {
+      if (segn < 6) return -2;
+      int ns = seg[0];
+      if (ns != 1) return -3;
+      int td = seg[2] >> 4;
+      int pred = seg[1 + 2 * ns];
+      int pt = seg[3 + 2 * ns] & 0x0F;
+      if (td > 3 || !have[td]) return -4;
+      if (frows != rows || fcols != cols) return -7;
+      if (precision < 2 || precision > 16) return -2;
+      pos += seglen;
+      // un-stuff the entropy segment (FF 00 -> FF; FF xx ends it)
+      std::vector<uint8_t> ent;
+      ent.reserve(static_cast<size_t>(len - pos));
+      for (int64_t i = pos; i < len; ++i) {
+        uint8_t b = d[i];
+        if (b == 0xFF) {
+          if (i + 1 < len && d[i + 1] == 0x00) {
+            ent.push_back(0xFF);
+            ++i;
+          } else {
+            break;
+          }
+        } else {
+          ent.push_back(b);
+        }
+      }
+      jll::BitReader br{ent.data(), ent.size() * 8};
+      const jll::Huff& H = tables[td];
+      const int32_t def = 1 << (precision - pt - 1);
+      for (int32_t r = 0; r < rows; ++r) {
+        uint16_t* row = out + static_cast<int64_t>(r) * cols;
+        const uint16_t* up =
+            r ? out + static_cast<int64_t>(r - 1) * cols : nullptr;
+        for (int32_t c = 0; c < cols; ++c) {
+          int s = H.decode(br);
+          if (s < 0) return -8;
+          int32_t diff;
+          if (s == 16) {
+            diff = 32768;
+          } else if (s == 0) {
+            diff = 0;
+          } else {
+            uint32_t v = br.bits(s);
+            diff = (v < (1u << (s - 1)))
+                       ? static_cast<int32_t>(v) - (1 << s) + 1
+                       : static_cast<int32_t>(v);
+          }
+          int32_t px;
+          if (r == 0 && c == 0) {
+            px = def;
+          } else if (r == 0) {
+            px = row[c - 1];
+          } else if (c == 0) {
+            px = up[0];
+          } else {
+            const int32_t ra = row[c - 1], rb = up[c], rc_ = up[c - 1];
+            switch (pred) {
+              case 1: px = ra; break;
+              case 2: px = rb; break;
+              case 3: px = rc_; break;
+              case 4: px = ra + rb - rc_; break;
+              case 5: px = ra + ((rb - rc_) >> 1); break;
+              case 6: px = rb + ((ra - rc_) >> 1); break;
+              case 7: px = (ra + rb) >> 1; break;
+              default: return -9;
+            }
+          }
+          row[c] = static_cast<uint16_t>((px + diff) & 0xFFFF);
+        }
+      }
+      if (pt) {
+        const int64_t npix = static_cast<int64_t>(rows) * cols;
+        for (int64_t i = 0; i < npix; ++i)
+          out[i] = static_cast<uint16_t>(out[i] << pt);
+      }
+      return 0;
+    } else if (marker >= 0xFFC0 && marker <= 0xFFCF && marker != 0xFFC4 &&
+               marker != 0xFFC8) {
+      return -5;  // a non-lossless SOF
+    }
+    pos += seglen;
+  }
+  return -6;  // no scan found
+}
+
 }  // extern "C"

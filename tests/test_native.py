@@ -87,3 +87,56 @@ def test_dense_histogram_native_path_matches():
     h1.insert_many(v)
     want = np.bincount(np.searchsorted(edges, v, side="left"), minlength=10)
     np.testing.assert_array_equal(h1.get_counts(), want)
+
+
+def test_jll_native_matches_python_decoder():
+    """The C++ JPEG-Lossless decoder must be byte-identical to the Python
+    reference on random and CT-like frames (skips if lib unbuilt)."""
+    import numpy as np
+    import pytest
+    from ife_tpu.native_lib import build, jll_decode_native
+    from ife_tpu.io.jpegll import decode_jpeg_lossless, encode_jpeg_lossless
+
+    if not build():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(21)
+    frames = [
+        rng.integers(0, 1 << 12, size=(33, 17)).astype(np.uint16),
+        (rng.normal(-600, 100, size=(128, 128)).astype(np.int16)
+         ).view(np.uint16),
+        np.full((5, 5), 7, np.uint16),  # constant image (1-symbol table)
+    ]
+    for img in frames:
+        enc = encode_jpeg_lossless(img, precision=16)
+        got = jll_decode_native(enc, *img.shape)
+        if got is None:
+            pytest.skip("jll symbol missing")
+        np.testing.assert_array_equal(got, decode_jpeg_lossless(enc))
+        np.testing.assert_array_equal(got, img)
+
+
+def test_jll_native_speed_sanity():
+    """The native decoder exists to make series conversion practical:
+    require it to beat the Python decoder by >5x on a CT-sized slice."""
+    import time
+
+    import numpy as np
+    import pytest
+    from ife_tpu.native_lib import build, jll_decode_native
+    from ife_tpu.io.jpegll import decode_jpeg_lossless, encode_jpeg_lossless
+
+    if not build():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(22)
+    img = (rng.normal(-600, 80, size=(512, 512)).astype(np.int16)
+           ).view(np.uint16)
+    enc = encode_jpeg_lossless(img, precision=16)
+    if jll_decode_native(enc, 512, 512) is None:
+        pytest.skip("jll symbol missing")
+    t0 = time.perf_counter()
+    jll_decode_native(enc, 512, 512)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    decode_jpeg_lossless(enc)
+    t_py = time.perf_counter() - t0
+    assert t_native * 5 < t_py, (t_native, t_py)
