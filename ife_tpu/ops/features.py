@@ -257,10 +257,12 @@ def multiscale_features(
     """Features at several scales, stacked: (X, Y, Z, n_scales, 8).
 
     The reference loops scales at the tool level re-running the whole DAG
-    (tools/MakeBag.cxx:405-412); here scales stay on-device.
+    (tools/MakeBag.cxx:405-412); here scales stay on-device, each through
+    the per-scale dispatch (sweep kernel / MXU-staged — features8_auto).
     """
     per_scale = [
-        features8(image, mask, float(s), spacing, truncate) for s in sigmas
+        features8_auto(image, mask, float(s), spacing, truncate)
+        for s in sigmas
     ]
     return jnp.stack(per_scale, axis=-2)
 
