@@ -223,13 +223,27 @@ def verify_on_chip(shape=(128, 128, 128), spacing=(0.78, 0.78, 1.0)):
             fused_hessian_eig_stream(v, spacing, block=2,
                                      stack=False)[:3], -1), axis=-1)
         out["eig_sorted_hessian_eig_stream"] = jnp.abs(sa - hb).max() / hscale
-        # the sharded per-shard path: stream kernel on a halo-extended
-        # block, core sliced back out
+        # the sharded per-shard paths: (a) stream kernel on a
+        # halo-extended block, core sliced back out (2D meshes);
+        # (b) the ext_halo VARIANT (x-halo rows as separate kernel
+        # inputs — 1D meshes / SCALING_TPU1) — a different Mosaic
+        # program that must be verified on chip in its own right
         ve = jnp.pad(v, ((1, 1), (1, 1), (0, 0)), mode="edge")
         xa = fused_hessian_eig_stream(ve, spacing, block=2, stack=False)
         xa = jnp.sort(jnp.stack([o[1:-1, 1:-1, :] for o in xa[:3]], -1),
                       axis=-1)
         out["eig_sorted_stream_ext_slice"] = jnp.abs(xa - hb).max() / hscale
+        ha2 = fused_hessian_eig_stream(
+            v, spacing, block=2, stack=False,
+            x_halo=(v[:1], v[-1:]))  # edge rows == the clamp replicas
+        ha2 = jnp.sort(jnp.stack(ha2[:3], -1), axis=-1)
+        out["eig_sorted_stream_x_halo"] = jnp.abs(ha2 - hb).max() / hscale
+        ph = jnp.moveaxis(fused_features8_post_stream(
+            s, m, spacing, stack=True,
+            x_halo=(s[:1], s[-1:])), 0, -1)
+        dph = jnp.abs(jnp.where(inside[..., None], ph - b, 0.0)
+                      ).reshape(-1, 8).max(axis=0) / scale
+        out["post_stream_x_halo_frobenius"] = dph[7]
         # the Pallas histogram kernel vs a definitional searchsorted +
         # scatter oracle (fine at this small shape): exact integer
         # equality expected

@@ -25,23 +25,7 @@ import jax
 import jax.numpy as jnp
 
 
-def loop_time(fn, x, *rest, inner=16, reps=3):
-    shape = x.shape
-
-    @jax.jit
-    def loop(v, *r):
-        def body(_, c):
-            out = fn(c, *r)
-            return out if out.shape == shape else out[..., 0]
-        return jax.lax.fori_loop(0, inner, body, v)[0, 0].sum()
-
-    float(loop(x, *rest))
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(loop(x, *rest))
-        ts.append(time.perf_counter() - t0)
-    return min(ts) / inner
+from benchmarks._timing import loop_time, make_attempt  # noqa: E402
 
 
 def main():
@@ -60,14 +44,7 @@ def main():
         m = (jax.random.uniform(jax.random.PRNGKey(1), shape) > 0.25
              ).astype(jnp.float32)
 
-        def attempt(key, thunk):
-            try:
-                out[key] = thunk()
-            except Exception as e:  # record and continue (compile OOMs)
-                out[key] = f"ERROR {type(e).__name__}: {str(e)[:120]}"
-            print(key, out[key], flush=True)
-            with open("benchmarks/out/r4_probe14.json", "w") as f:
-                json.dump(out, f, indent=1)
+        attempt = make_attempt(out, "benchmarks/out/r4_probe14.json")
 
         for sigma in (0.6, 1.2, 2.4, 3.5, 4.8):
             tag = f"{n}_s{sigma:g}"

@@ -19,23 +19,7 @@ import jax
 import jax.numpy as jnp
 
 
-def loop_time(fn, x, *rest, inner=12, reps=3):
-    shape = x.shape
-
-    @jax.jit
-    def loop(v, *r):
-        def body(_, c):
-            out = fn(c, *r)
-            return out if out.shape == shape else out[..., 0]
-        return jax.lax.fori_loop(0, inner, body, v)[0, 0].sum()
-
-    float(loop(x, *rest))
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(loop(x, *rest))
-        ts.append(time.perf_counter() - t0)
-    return min(ts) / inner
+from benchmarks._timing import loop_time, make_attempt  # noqa: E402
 
 
 def main():
@@ -44,14 +28,7 @@ def main():
 
     out = {}
 
-    def attempt(key, thunk):
-        try:
-            out[key] = thunk()
-        except Exception as e:
-            out[key] = f"ERROR {type(e).__name__}: {str(e)[:120]}"
-        print(key, out[key], flush=True)
-        with open("benchmarks/out/r4_probe15.json", "w") as f:
-            json.dump(out, f, indent=1)
+    attempt = make_attempt(out, "benchmarks/out/r4_probe15.json")
 
     for n in (512, 256):
         shape = (n, n, n)

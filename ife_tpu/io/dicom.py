@@ -222,10 +222,11 @@ def read_dicom_series(paths: List[str]) -> Tuple[Volume, Dict[str, str]]:
     for z, d in slices:
         if "PixelDataFragments" in d:
             frags = d["PixelDataFragments"]
-            # single-frame files: fragment 0 is the (possibly empty) Basic
-            # Offset Table, the last fragment is the frame
-            frame = frags[-1]
             if d.get("_ts", b"").decode() == _JPEG_LL:
+                # single-frame files: fragment 0 is the (possibly empty)
+                # Basic Offset Table; a JPEG frame MAY be split across
+                # several following fragments (PS3.5 A.4) — join them
+                frame = b"".join(frags[1:]) if len(frags) > 1 else frags[0]
                 from ife_tpu.io.jpegll import decode_jpeg_lossless_fast
 
                 raw = decode_jpeg_lossless_fast(
@@ -237,7 +238,10 @@ def read_dicom_series(paths: List[str]) -> Tuple[Volume, Dict[str, str]]:
                     # two's-complement reinterpretation, like the raw path
                     arr = raw.view(np.int16) if signed else raw
             else:
-                arr = _rle_decode_frame(frame, rows * cols, bits, signed)
+                # RLE: one fragment per frame (PS3.5 G.1) — the last
+                # fragment is the (single) frame
+                arr = _rle_decode_frame(frags[-1], rows * cols, bits,
+                                        signed)
         else:
             arr = np.frombuffer(d["PixelData"], dtype=dtype)[: rows * cols]
         slope = _f(d, "RescaleSlope", 1.0)

@@ -234,9 +234,10 @@ def decode_jpeg_lossless_fast(data: bytes, rows: int, cols: int
         out = jll_decode_native(data, rows, cols)
         if out is not None:
             return out
-    except ValueError:
-        raise
     except Exception:
+        # native-only limitations (e.g. SOF-dims vs tag mismatch, rc=-7)
+        # must not fail files the Python decoder handles — fall through;
+        # truly malformed streams raise the Python decoder's own error
         pass
     return decode_jpeg_lossless(data)
 

@@ -1180,7 +1180,7 @@ def fused_hessian_eig_stream(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sigma", "spacing", "truncate", "block",
+    jax.jit, static_argnames=("sigma", "spacing", "truncate",
                               "interpret", "stack")
 )
 def fused_features8(
@@ -1189,7 +1189,6 @@ def fused_features8(
     sigma: float,
     spacing: Sequence[float] = (1.0, 1.0, 1.0),
     truncate: float = 4.5,
-    block=(8, 128),
     interpret: bool = False,
     stack: bool = True,
 ):

@@ -42,18 +42,22 @@ def _hist_kernel(e_ref, v_ref, w_ref, o_ref, acc, *, E, n_steps, weighted):
 
     v = v_ref[:]                      # (bx, 128)
     if weighted:
-        w = w_ref[:] != 0
+        # full integer weights (not a 0/1 reduction): the XLA fallback
+        # computes sum(w * (v <= e)), and the two dispatch paths must
+        # agree for ANY nonnegative int weights
+        w = w_ref[:]
     rows = []
     for j in range(E - 1):
         e = e_ref[j]                  # scalar from SMEM
         le = v <= e
         if weighted:
-            le = jnp.logical_and(le, w)
-        rows.append(jnp.sum(le.astype(jnp.int32), axis=0))
+            rows.append(jnp.sum(jnp.where(le, w, 0), axis=0))
+        else:
+            rows.append(jnp.sum(le.astype(jnp.int32), axis=0))
     # the last row is the weighted TOTAL (not a compare): NaN values must
     # count into the unbounded tail bin, exactly like searchsorted-left
     if weighted:
-        rows.append(jnp.sum(w.astype(jnp.int32), axis=0))
+        rows.append(jnp.sum(w, axis=0))
     else:
         rows.append(jnp.full((v.shape[1],), v.shape[0], jnp.int32))
     acc[:, :] = acc[:, :] + jnp.stack(rows, axis=0)
@@ -63,6 +67,9 @@ def _hist_kernel(e_ref, v_ref, w_ref, o_ref, acc, *, E, n_steps, weighted):
         o_ref[:] = acc[:]
 
 
+_HIST_BX = 2048  # rows per grid step; callers pad R to a multiple
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _hist_pallas(values2d, weights2d, edges_ext, interpret=False):
     """values2d/weights2d: (R, 128); edges_ext: (E,) f32 WITH the +inf
@@ -70,8 +77,11 @@ def _hist_pallas(values2d, weights2d, edges_ext, interpret=False):
     (E, 128) int32 per-lane cumulative counts."""
     E = int(edges_ext.shape[0])
     R = values2d.shape[0]
-    bx = min(R, 2048)
-    # grid must cover R exactly; R is padded to a bx multiple by caller
+    bx = min(R, _HIST_BX)
+    if R % bx:
+        raise ValueError(
+            f"values rows ({R}) must be a multiple of the block ({bx}) — "
+            "pad as histogram_counts_pallas does")
     n_steps = R // bx
     weighted = weights2d is not None
     kernel = functools.partial(
@@ -109,8 +119,7 @@ def histogram_counts_pallas(values, edges, weights=None, interpret=False):
     n = v.shape[0]
     E = int(edges.shape[0])
     lanes = 128
-    bx = 2048
-    block = bx * lanes
+    block = _HIST_BX * lanes
     pad = (-n) % block
     if pad:
         v = jnp.pad(v, (0, pad), constant_values=np.inf)

@@ -284,6 +284,49 @@ def _sweep_block_plan(shape, mesh, sigma, spacing, truncate):
     return _sweep_fits(sigma, spacing, tuple(local), truncate), (rx, ry)
 
 
+@functools.lru_cache(maxsize=256)
+def _features8_fn(mesh: Mesh, shape, sigma: float, spacing, truncate: float,
+                  fused: bool):
+    """Cached jitted shard_map per (mesh, global shape, scale, fused):
+    rebuilding the wrapper per call retraced + recompiled the program
+    per invocation — ruinous for multi-image / multi-scale products
+    (round-4 finding on the 512^3 bin-edges CLI)."""
+    pspec = volume_pspec(mesh)
+    saxes = _sharded_axis_map(mesh)
+    if fused:
+        from ife_tpu.ops.features import _sweep_rx_ok
+
+        fits, radii = _sweep_block_plan(shape, mesh, sigma, spacing,
+                                        truncate)
+        # same crossover as features8_auto: past rx ~10 the staged
+        # MXU-smoothing path beats the sweep (r4_probe14/15)
+        fits = fits and _sweep_rx_ok(sigma, spacing, truncate)
+    else:
+        fits = False
+    if fused and fits:
+        block = functools.partial(
+            _features8_block_sweep,
+            sigma=sigma, spacing=spacing, truncate=truncate,
+            sharded_axes=saxes, radii=radii,
+        )
+    else:
+        block = functools.partial(
+            _features8_block,
+            sigma=sigma, spacing=spacing, truncate=truncate,
+            sharded_axes=saxes, use_fused=fused,
+        )
+
+    return jax.jit(shard_map(
+        block,
+        mesh=mesh,
+        in_specs=(pspec, pspec),
+        out_specs=(pspec,) * 8,
+        # pallas_call's ShapeDtypeStruct outputs carry no vma annotation;
+        # the body's collectives are hand-placed, so skip the vma check
+        check_vma=False,
+    ))
+
+
 def sharded_features8(
     image: jax.Array,
     mask: jax.Array,
@@ -298,42 +341,10 @@ def sharded_features8(
     like the input (stack=True), or a tuple of 8 sharded (X, Y, Z) arrays
     (stack=False — no channel-last relayout; preferred when consumers read
     channels independently, e.g. the histogram pipelines)."""
-    pspec = volume_pspec(mesh)
-    saxes = _sharded_axis_map(mesh)
-    fused = _resolve_use_fused(use_fused)
-
-    spc = tuple(float(v) for v in spacing)
-    if fused:
-        from ife_tpu.ops.features import _sweep_rx_ok
-
-        fits, radii = _sweep_block_plan(
-            image.shape, mesh, float(sigma), spc, float(truncate))
-        # same crossover as features8_auto: past rx ~10 the staged
-        # MXU-smoothing path beats the sweep (r4_probe14/15)
-        fits = fits and _sweep_rx_ok(float(sigma), spc, float(truncate))
-    else:
-        fits = False
-    if fused and fits:
-        block = functools.partial(
-            _features8_block_sweep,
-            sigma=float(sigma), spacing=spc, truncate=float(truncate),
-            sharded_axes=saxes, radii=radii,
-        )
-    else:
-        block = functools.partial(
-            _features8_block,
-            sigma=float(sigma), spacing=spc, truncate=float(truncate),
-            sharded_axes=saxes, use_fused=fused,
-        )
-
-    fn = shard_map(
-        block,
-        mesh=mesh,
-        in_specs=(pspec, pspec),
-        out_specs=(pspec,) * 8,
-        # pallas_call's ShapeDtypeStruct outputs carry no vma annotation;
-        # the body's collectives are hand-placed, so skip the vma check
-        check_vma=False,
+    fn = _features8_fn(
+        mesh, tuple(image.shape), float(sigma),
+        tuple(float(v) for v in spacing), float(truncate),
+        _resolve_use_fused(use_fused),
     )
     out = fn(image, mask)
     if stack:
@@ -341,22 +352,11 @@ def sharded_features8(
     return out
 
 
-def sharded_hessian_eig(
-    image: jax.Array,
-    mesh: Mesh,
-    spacing: Sequence[float] = (1.0, 1.0, 1.0),
-    use_fused=None,
-    stack: bool = True,
-) -> jax.Array:
-    """Hessian -> 6 eigen features of a sharded raw volume: the scaling
-    benchmark path (BASELINE.md configs). Returns (X, Y, Z, 6) when
-    stack=True, else a tuple of 6 sharded (X, Y, Z) arrays (no
-    channel-last relayout — a size-6 trailing stack lands on the TPU lane
-    axis and costs ~2x the kernel pass itself, CLAUDE.md)."""
+@functools.lru_cache(maxsize=64)
+def _hessian_eig_fn(mesh: Mesh, spc, fused: bool):
+    """Cached jitted shard_map (see _features8_fn)."""
     pspec = volume_pspec(mesh)
     saxes = _sharded_axis_map(mesh)
-    fused = _resolve_use_fused(use_fused)
-    spc = tuple(float(v) for v in spacing)
 
     def block(img):
         if fused:
@@ -388,8 +388,24 @@ def sharded_hessian_eig(
         e = eigenvalue_features(H)
         return tuple(e[..., k] for k in range(6))
 
-    fn = shard_map(block, mesh=mesh, in_specs=(pspec,),
-                   out_specs=(pspec,) * 6, check_vma=False)
+    return jax.jit(shard_map(block, mesh=mesh, in_specs=(pspec,),
+                             out_specs=(pspec,) * 6, check_vma=False))
+
+
+def sharded_hessian_eig(
+    image: jax.Array,
+    mesh: Mesh,
+    spacing: Sequence[float] = (1.0, 1.0, 1.0),
+    use_fused=None,
+    stack: bool = True,
+) -> jax.Array:
+    """Hessian -> 6 eigen features of a sharded raw volume: the scaling
+    benchmark path (BASELINE.md configs). Returns (X, Y, Z, 6) when
+    stack=True, else a tuple of 6 sharded (X, Y, Z) arrays (no
+    channel-last relayout — a size-6 trailing stack lands on the TPU lane
+    axis and costs ~2x the kernel pass itself, CLAUDE.md)."""
+    fn = _hessian_eig_fn(mesh, tuple(float(v) for v in spacing),
+                         _resolve_use_fused(use_fused))
     out = fn(image)
     if stack:
         return jnp.stack(out, axis=-1)

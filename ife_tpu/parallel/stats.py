@@ -22,6 +22,33 @@ from ife_tpu.parallel.mesh import volume_pspec
 from ife_tpu.stats.histogram import histogram_counts
 
 
+@functools.lru_cache(maxsize=64)
+def _masked_histogram_fn(mesh: Mesh):
+    """Cached jitted shard_map for one mesh: rebuilding the wrapper per
+    call retraced AND recompiled the whole program per invocation — at
+    64 (scale, feature) channels with the multi-pass Pallas histogram
+    inlined, that recompile loop dominated the 512^3 bin-edges CLI
+    (round-4 finding; the cache turns it into one compile + 63 hits)."""
+    pspec = volume_pspec(mesh)
+
+    def block(v, m, e):
+        w = (m != 0).astype(jnp.int32)
+        local = histogram_counts(v, e, w)
+        for name in mesh.axis_names:
+            local = jax.lax.psum(local, name)
+        return local
+
+    # check_vma=False: histogram_counts' chunked lax.scan carries a
+    # replicated-zeros accumulator over varying per-shard inputs, which
+    # the vma checker rejects (found on-chip by the 512^3 sharded
+    # bin-edges CLI — small CPU-test shards never reach the scan path;
+    # tests/test_parallel.py covers it)
+    return jax.jit(shard_map(
+        block, mesh=mesh, in_specs=(pspec, pspec, P(None)),
+        out_specs=P(None), check_vma=False,
+    ))
+
+
 def sharded_masked_histogram(
     values: jax.Array,
     mask: jax.Array,
@@ -36,25 +63,18 @@ def sharded_masked_histogram(
     exact at production sizes, unlike an f32 accumulator which drops
     increments past 2^24 per bin).
     """
-    pspec = volume_pspec(mesh)
+    return _masked_histogram_fn(mesh)(values, mask, edges)
 
-    def block(v, m, e):
-        w = (m != 0).astype(jnp.int32)
-        local = histogram_counts(v, e, w)
-        for name in mesh.axis_names:
-            local = jax.lax.psum(local, name)
-        return local
 
-    # check_vma=False: histogram_counts' chunked lax.scan carries a
-    # replicated-zeros accumulator over varying per-shard inputs, which
-    # the vma checker rejects (found on-chip by the 512^3 sharded
-    # bin-edges CLI — small CPU-test shards never reach the scan path;
-    # tests/test_parallel.py now covers it)
-    fn = shard_map(
-        block, mesh=mesh, in_specs=(pspec, pspec, P(None)),
-        out_specs=P(None), check_vma=False,
-    )
-    return fn(values, mask, edges)
+@jax.jit
+def _masked_minmax(v, m):
+    """(min, max) of v[m != 0] — module-level jit so repeated fine-
+    histogram calls hit the trace cache instead of recompiling."""
+    inside = m != 0
+    big = jnp.asarray(jnp.inf, v.dtype)
+    lo = jnp.where(inside, v, big).min()
+    hi = jnp.where(inside, v, -big).max()
+    return lo, hi
 
 
 def histogram_quantile_edges(
@@ -104,17 +124,7 @@ def masked_fine_histogram(
     tools/DetermineHistogramBinEdges_MultiScaleEigenvalueFeatures.cxx:283).
     Returns (bounds (n_fine+1,) float64, counts (n_fine,) float64).
     """
-    import jax.numpy as jnp
-
-    @jax.jit
-    def minmax(v, m):
-        inside = m != 0
-        big = jnp.asarray(jnp.inf, v.dtype)
-        lo = jnp.where(inside, v, big).min()
-        hi = jnp.where(inside, v, -big).max()
-        return lo, hi
-
-    lo, hi = (float(t) for t in minmax(values, mask))
+    lo, hi = (float(t) for t in _masked_minmax(values, mask))
     if not np.isfinite(lo) or not np.isfinite(hi):
         raise ValueError("masked_fine_histogram: mask selects no voxels")
     if hi <= lo:  # constant field: one degenerate bin still inverts cleanly

@@ -46,8 +46,11 @@ def histogram_counts(
     Args:
       values: any shape; flattened.
       edges: (E,) sorted ascending.
-      weights: optional same shape as values — a 0/1 mask (cast to int32;
-        fractional weights are not supported).
+      weights: optional same shape as values — nonnegative integer
+        weights (cast to int32; in the product paths a 0/1 mask).
+        Fractional weights are not supported. Both dispatch paths (XLA
+        compare-reduce and the Pallas kernel) sum the weights, not a
+        boolean reduction of them.
 
     Returns:
       (E+1,) int32 counts.

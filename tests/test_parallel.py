@@ -61,7 +61,16 @@ def test_sharded_hessian_eig_matches_single_device():
     mesh = make_mesh(8, ("x", "y"))
     want = np.asarray(eigenvalue_features(hessian(img, SPACING)))
     got = np.asarray(sharded_hessian_eig(shard_volume(img, mesh), mesh, SPACING))
-    np.testing.assert_allclose(got, want, atol=1e-12)
+    # the sharded wrapper is a cached jax.jit(shard_map(...)) (round 4:
+    # per-call rebuilds recompiled the program per invocation); jit vs
+    # the eager single-device reference differs by fusion-level rounding,
+    # which the closed-form eigen solve amplifies at conditioning
+    # hotspots of this raw-noise Hessian (measured ~2e-6 abs at value
+    # scale ~1e3). Compare value-sorted eigen sets + the symmetric
+    # channels, like every other eigen parity check in the suite.
+    np.testing.assert_allclose(np.sort(got[..., :3], axis=-1),
+                               np.sort(want[..., :3], axis=-1), atol=1e-5)
+    np.testing.assert_allclose(got[..., 3:], want[..., 3:], atol=1e-5)
 
 
 def test_sharded_multiscale_matches_single_device():
