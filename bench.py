@@ -256,6 +256,14 @@ def verify_on_chip(shape=(128, 128, 128), spacing=(0.78, 0.78, 1.0)):
         ref_counts = jnp.zeros(e.shape[0] + 1, jnp.int32).at[idx].add(w)
         out["hist_pallas_max_abs_count_err"] = jnp.abs(
             hp - ref_counts).max().astype(jnp.float32)
+        # the multi-channel form must agree bit-for-bit
+        from ife_tpu.kernels.histogram import histogram_counts_multi
+
+        hm = histogram_counts_multi([v.ravel(), s.ravel()], e, weights=w)
+        hs = histogram_counts_pallas(s.ravel(), e, w)
+        out["hist_multi_max_abs_count_err"] = jnp.maximum(
+            jnp.abs(hm[0] - hp).max(), jnp.abs(hm[1] - hs).max()
+        ).astype(jnp.float32)
         return out
 
     report = {k: float(v) for k, v in errs(img, msk).items()}
@@ -406,11 +414,21 @@ def bench_all(out_path="BENCH_DETAIL.json", resume=False):
                 # dependence rides through the EDGES (a tiny SMEM input):
                 # f32*0 of a carried value cannot be folded (inf/nan).
                 e_t = e + v.reshape(-1)[0] * jnp.asarray(0.0, v.dtype)
-                counts = jnp.stack(
-                    [histogram_counts(c.ravel(), e_t, weights=w)
-                     for c in chans]
-                    + [histogram_counts(v.ravel(), e_t, weights=w)]
-                )
+                if on_tpu:
+                    # one multi-channel pass: the mask stream is read
+                    # once for all nine channels
+                    from ife_tpu.kernels.histogram import (
+                        histogram_counts_multi,
+                    )
+
+                    counts = histogram_counts_multi(
+                        list(chans) + [v], e_t, weights=w)
+                else:
+                    counts = jnp.stack(
+                        [histogram_counts(c.ravel(), e_t, weights=w)
+                         for c in chans]
+                        + [histogram_counts(v.ravel(), e_t, weights=w)]
+                    )
                 return v + counts.sum().astype(v.dtype) * jnp.asarray(
                     0.0, v.dtype)
 

@@ -472,6 +472,45 @@ def _dicom_jpegll_bytes(z, uid=b"1.2.3.11", rows=4, cols=4):
     return b"\x00" * 128 + b"DICM" + meta + body
 
 
+def test_convert_dicom_jpeg_lossless_fragmented_frame(workdir):
+    """A single JPEG frame MAY be split across several encapsulated
+    fragments (PS3.5 A.4) — the reader must join them (round-4 review
+    finding: the RLE-era 'last fragment is the frame' rule broke here)."""
+    from ife_tpu.io.dicom import read_dicom_series
+
+    raw = _dicom_jpegll_bytes(0)
+    # split the frame item into two fragments: rebuild the encapsulation
+    from ife_tpu.io.jpegll import encode_jpeg_lossless
+
+    pix = np.arange(16, dtype=np.int16)
+    frame = encode_jpeg_lossless(pix.view(np.uint16).reshape(4, 4),
+                                 precision=16)
+    if len(frame) % 2:
+        frame += b"\x00"
+    cut = (len(frame) // 2) & ~1  # even split point
+    f1, f2 = frame[:cut], frame[cut:]
+    encap = (
+        struct.pack("<HHI", 0xFFFE, 0xE000, 0)
+        + struct.pack("<HHI", 0xFFFE, 0xE000, len(f1)) + f1
+        + struct.pack("<HHI", 0xFFFE, 0xE000, len(f2)) + f2
+        + struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+    )
+    # splice the two-fragment encapsulation into the single-frame file
+    single = (
+        struct.pack("<HHI", 0xFFFE, 0xE000, 0)
+        + struct.pack("<HHI", 0xFFFE, 0xE000, len(frame)) + frame
+        + struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+    )
+    assert single in raw
+    frag = raw.replace(single, encap)
+    p = workdir / "frag.dcm"
+    with open(p, "wb") as f:
+        f.write(frag)
+    vol, _tags = read_dicom_series([str(p)])
+    want = (pix.reshape(4, 4) - 1024).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(vol.data)[..., 0], want.T)
+
+
 def test_convert_dicom_jpeg_lossless(workdir):
     # JPEG Lossless SV1 must decode to the SAME volume as the uncompressed
     # syntax (reference ConvertDICOM reads it through GDCM,

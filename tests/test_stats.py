@@ -171,6 +171,35 @@ def test_histogram_counts_pallas_multiblock_edges():
     np.testing.assert_array_equal(got.astype(np.int64), want)
 
 
+def test_histogram_counts_multi_matches_per_channel():
+    """The multi-channel kernel (one pass, shared weights stream) must
+    equal per-channel histogram_counts exactly — shared and per-channel
+    edges, weighted and not, padded sizes."""
+    from ife_tpu.kernels.histogram import histogram_counts_multi
+
+    rng = np.random.default_rng(13)
+    n = 5000
+    chans = [rng.standard_normal(n).astype(np.float32) for _ in range(3)]
+    shared = np.sort(rng.standard_normal(9)).astype(np.float32)
+    per = np.sort(rng.standard_normal((3, 9)), axis=1).astype(np.float32)
+    w = (rng.uniform(size=n) > 0.4).astype(np.int32)
+    for edges in (shared, per):
+        for weights in (None, w):
+            got = np.asarray(histogram_counts_multi(
+                [jnp.asarray(c) for c in chans], jnp.asarray(edges),
+                None if weights is None else jnp.asarray(weights),
+                interpret=True))
+            for c in range(3):
+                e_c = edges if edges.ndim == 1 else edges[c]
+                want = np.zeros(10, np.int64)
+                np.add.at(want, np.searchsorted(e_c, chans[c], "left"),
+                          1 if weights is None else weights)
+                np.testing.assert_array_equal(
+                    got[c].astype(np.int64), want,
+                    err_msg=f"c={c} per={edges.ndim == 2} "
+                            f"w={weights is not None}")
+
+
 def test_batched_histogram_counts():
     rng = np.random.default_rng(1)
     v = rng.standard_normal((4, 1000))
