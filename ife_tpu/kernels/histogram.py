@@ -201,7 +201,14 @@ def _hist_multi_pallas(values2d_list, weights2d, edges2d, interpret=False):
     C = len(values2d_list)
     E = int(edges2d.shape[1])
     R = values2d_list[0].shape[0]
-    bx = min(R, _HIST_BX)
+    # C+1 double-buffered (bx, 128) streams must fit the scoped-vmem
+    # budget (C=9 at bx=2048 hit the 16 MB default limit on chip) —
+    # shrink bx with the channel count (power of two, so it divides the
+    # _HIST_BX-padded R)
+    bx = _HIST_BX
+    while bx > 256 and (C + 1) * bx * 128 * 4 * 2 > 12 * 1024 * 1024:
+        bx //= 2
+    bx = min(R, bx)
     if R % bx:
         raise ValueError("rows must be a multiple of the block")
     n_steps = R // bx
@@ -227,6 +234,9 @@ def _hist_multi_pallas(values2d_list, weights2d, edges2d, interpret=False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((C * E, 128), jnp.int32),
         scratch_shapes=[pltpu.VMEM((C * E, 128), jnp.int32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=interpret,
     )(*args)
     return out
