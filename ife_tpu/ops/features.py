@@ -247,6 +247,35 @@ def features8_auto(image, mask, sigma, spacing=(1.0, 1.0, 1.0), truncate=4.5):
     )
 
 
+def features8_auto_channels(image, mask, sigma, spacing=(1.0, 1.0, 1.0),
+                            truncate=4.5):
+    """features8_auto as a TUPLE of 8 (X, Y, Z) channel arrays — no
+    channel-last stack/moveaxis: at 512^3 those are two extra 4.3 GB
+    transient copies, enough to exhaust HBM next to the kernel outputs
+    (found by the device make-bag path, round 4). Prefer this form when
+    consumers read channels independently."""
+    if jax.devices()[0].platform == "tpu" and image.ndim == 3:
+        if (_sweep_fits(sigma, spacing, image.shape, truncate)
+                and _sweep_rx_ok(sigma, spacing, truncate)):
+            from ife_tpu.kernels.fused import fused_features8_sweep
+
+            return fused_features8_sweep(
+                image, mask, float(sigma), tuple(spacing), truncate,
+                stack=False,
+            )
+        from ife_tpu.kernels.fused import fused_features8
+
+        return fused_features8(
+            image, mask, float(sigma), tuple(spacing), truncate,
+            stack=False,
+        )
+    f = features8_jit(
+        image, mask, sigma=float(sigma), spacing=tuple(spacing),
+        truncate=truncate,
+    )
+    return tuple(f[..., k] for k in range(NUM_FEATURES))
+
+
 def multiscale_features(
     image: jnp.ndarray,
     mask: jnp.ndarray,

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ife_tpu.ops.features import features8_auto, NUM_FEATURES
 from ife_tpu.roi.generate import ROI
-from ife_tpu.stats.histogram import histogram_counts
+from ife_tpu.stats.histogram import histogram_counts_xla
 
 
 def _check_hist_spec(hist_edges: Sequence[np.ndarray], n_expected: int) -> int:
@@ -119,7 +119,10 @@ def roi_feature_histograms_device(
     std::lower_bound loop (tools/MakeBag.cxx:448-457).
 
     Args:
-      feats: (X, Y, Z, C) feature volume (any C, 8 for features8).
+      feats: TUPLE of C (X, Y, Z) channel arrays, or one (X, Y, Z, C)
+        volume. The tuple form is strongly preferred on TPU: building
+        the channel-last volume costs two transient full-volume copies
+        (HBM-fatal at 512^3 next to the kernel outputs).
       mask: (X, Y, Z) labels; nonzero = counted.
       starts: (N, 3) int ROI start corners.
       edges: (C, E) bin edges per channel.
@@ -129,17 +132,22 @@ def roi_feature_histograms_device(
       (N, C, E+1) frequencies (counts / masked voxels; nan if empty,
       like the reference's divide-by-zero).
     """
-    C = feats.shape[-1]
+    chans = (tuple(feats[..., k] for k in range(feats.shape[-1]))
+             if isinstance(feats, jnp.ndarray) else tuple(feats))
 
     def one(start):
-        crop = jax.lax.dynamic_slice(
-            feats, (start[0], start[1], start[2], 0), (*size, C)
-        )
+        crops = [jax.lax.dynamic_slice(ch, tuple(start), size)
+                 for ch in chans]
         mcrop = jax.lax.dynamic_slice(mask, tuple(start), size)
         w = (mcrop != 0).astype(jnp.float32).reshape(-1)
-        vox = crop.reshape(-1, C)
+        vox = jnp.stack([c.reshape(-1) for c in crops], axis=1)
+        # the XLA histogram form: this double-vmap (channels here, ROIs
+        # outside) batches the EDGES, which the Pallas kernel's SMEM
+        # operand cannot be — Mosaic rejected the lowering on chip
+        # (round-4 device make-bag finding); ROI crops are tiny, so the
+        # XLA compare-reduce is the right tool anyway
         counts = jax.vmap(
-            lambda v, e: histogram_counts(v, e, w), in_axes=(1, 0)
+            lambda v, e: histogram_counts_xla(v, e, w), in_axes=(1, 0)
         )(vox, edges)
         return counts / w.sum()
 
@@ -168,13 +176,19 @@ def make_bag_device(
     mask_dev = jnp.asarray(np.clip(np.asarray(mask), 0, 1))
     starts = jnp.asarray([r.index for r in rois])
     blocks = []
+    from ife_tpu.ops.features import features8_auto_channels
+
     for i, sigma in enumerate(sigmas):
-        feats = features8_auto(img_dev, mask_dev, float(sigma), tuple(spacing))
+        # channel TUPLE: no channel-last materialization (two 4.3 GB
+        # transients at 512^3 — HBM-fatal next to the kernel outputs)
+        feats = features8_auto_channels(
+            img_dev, mask_dev, float(sigma), tuple(spacing))
         edges_block = np.stack([
             np.asarray(hist_edges[i * NUM_FEATURES + k], dtype=np.float64)
             for k in range(NUM_FEATURES)
         ])
-        if feats.dtype == jnp.float32:
+        fdt = feats[0].dtype
+        if fdt == jnp.float32:
             # bin convention compares f32 values against f64 edges (exact
             # after promotion); in-f32 comparison is equivalent iff edges
             # are rounded DOWN to f32 (v <= e64 <=> v <= f32_floor(e64))
@@ -184,7 +198,7 @@ def make_bag_device(
                 e32[over], np.float32(-np.inf), dtype=np.float32
             )
             edges_block = e32
-        edges_block = jnp.asarray(edges_block, feats.dtype)
+        edges_block = jnp.asarray(edges_block, fdt)
         freqs = roi_feature_histograms_device(
             feats, mask_dev, starts, edges_block, size
         )  # (N, 8, hist_size)
@@ -235,13 +249,15 @@ def make_bag_sharded(
 
     blocks = []
     for i, sigma in enumerate(sigmas):
+        # channel tuple: skips the channel-last relayout entirely
         feats = sharded_features8(img_s, msk_s, float(sigma), mesh,
-                                  tuple(spacing))
+                                  tuple(spacing), stack=False)
         edges_block = np.stack([
             np.asarray(hist_edges[i * NUM_FEATURES + k], dtype=np.float64)
             for k in range(NUM_FEATURES)
         ])
-        if feats.dtype == jnp.float32:
+        fdt = feats[0].dtype
+        if fdt == jnp.float32:
             # same f32 edge-rounding rule as make_bag_device: comparing in
             # f32 matches the f64 convention iff edges round DOWN
             e32 = edges_block.astype(np.float32)
@@ -251,7 +267,7 @@ def make_bag_sharded(
             )
             edges_block = e32
         freqs = roi_feature_histograms_device(
-            feats, msk_s, starts, jnp.asarray(edges_block, feats.dtype), size
+            feats, msk_s, starts, jnp.asarray(edges_block, fdt), size
         )
         blocks.append(fetch_to_host(freqs).astype(np.float64))
     return np.concatenate(blocks, axis=1).reshape(len(rois), -1)

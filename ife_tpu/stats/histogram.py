@@ -70,12 +70,33 @@ def histogram_counts(
     # kernel (streaming passes with per-lane partials in VMEM —
     # kernels/histogram.py; 39 vs 137 ms for nine 31-edge 512^3
     # histograms, ~0.2 vs 1.76 s for a 4096-edge fine histogram,
-    # r4_probe16); the chunked XLA compare-reduce below serves CPU and
-    # non-f32 dtypes
+    # r4_probe16); the chunked XLA compare-reduce (histogram_counts_xla)
+    # serves CPU, non-f32 dtypes, and vmap contexts — a vmap that
+    # batches the EDGES would batch the kernel's SMEM operand, which
+    # Mosaic rejects (found on-chip in the device make-bag path; use
+    # histogram_counts_xla or histogram_counts_multi there)
     if v.dtype == jnp.float32 and jax.devices()[0].platform == "tpu":
         from ife_tpu.kernels.histogram import histogram_counts_pallas
 
         return histogram_counts_pallas(v, edges, w)
+    return histogram_counts_xla(values, edges, weights)
+
+
+def histogram_counts_xla(
+    values: jnp.ndarray,
+    edges: jnp.ndarray,
+    weights: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """The chunked XLA compare-reduce form of histogram_counts — same
+    semantics, no Pallas: safe under vmap with batched edges (the Pallas
+    kernel's SMEM edges operand cannot be batched) and on any backend."""
+    v = values.reshape(-1)
+    w = None if weights is None else weights.reshape(-1).astype(jnp.int32)
+    E = int(edges.shape[0])
+    if E == 0:
+        tot = (jnp.asarray(v.shape[0], jnp.int32) if w is None
+               else jnp.sum(w, dtype=jnp.int32))
+        return tot[None]
 
     def chunk_counts(vv, ww):
         """Cumulative compare-reduce over one chunk: (E,) int32 C[j] =
@@ -135,8 +156,14 @@ def histogram_counts(
 def batched_histogram_counts(
     values: jnp.ndarray, edges: jnp.ndarray, weights: jnp.ndarray | None = None
 ) -> jnp.ndarray:
-    """Many histograms at once: values (H, N), edges (H, E) -> (H, E+1)."""
-    fn = jax.vmap(histogram_counts, in_axes=(0, 0, None if weights is None else 0))
+    """Many histograms at once: values (H, N), edges (H, E) -> (H, E+1).
+
+    vmaps the XLA form: batching the per-row EDGES would batch the
+    Pallas kernel's SMEM operand, which Mosaic rejects (for big
+    shared-weight channel batches use
+    kernels.histogram.histogram_counts_multi instead)."""
+    fn = jax.vmap(histogram_counts_xla,
+                  in_axes=(0, 0, None if weights is None else 0))
     return fn(values, edges, weights)
 
 
