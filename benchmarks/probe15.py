@@ -48,10 +48,10 @@ def main():
 
             attempt(f"einsum_staged_ms_{tag}",
                     lambda f=einsum_staged: round(
-                        loop_time(f, x, m) * 1e3, 2))
+                        loop_time(f, x, m, inner=12) * 1e3, 2))
             attempt(f"einsum_nc_ms_{tag}", lambda s=sigma: round(loop_time(
                 lambda v, mm: normalized_gaussian_convolution(
-                    v, mm, s, spc), x, m) * 1e3, 2))
+                    v, mm, s, spc), x, m, inner=12) * 1e3, 2))
 
     print(json.dumps(out))
 

@@ -225,22 +225,13 @@ def features8_auto(image, mask, sigma, spacing=(1.0, 1.0, 1.0), truncate=4.5):
     --verify.
     """
     if jax.devices()[0].platform == "tpu" and image.ndim == 3:
-        if (_sweep_fits(sigma, spacing, image.shape, truncate)
-                and _sweep_rx_ok(sigma, spacing, truncate)):
-            from ife_tpu.kernels.fused import fused_features8_sweep
-
-            out = fused_features8_sweep(
-                image, mask, float(sigma), tuple(spacing), truncate,
-                stack=True,
-            )
-        else:
-            from ife_tpu.kernels.fused import fused_features8
-
-            out = fused_features8(
-                image, mask, float(sigma), tuple(spacing), truncate,
-                stack=True,
-            )
-        return jnp.moveaxis(out, 0, -1)
+        # ONE dispatch tree (features8_auto_channels) for both forms;
+        # stack(axis=-1) builds channel-last in one copy (vs the old
+        # stack(0) + moveaxis pair)
+        return jnp.stack(
+            features8_auto_channels(image, mask, sigma, spacing, truncate),
+            axis=-1,
+        )
     return features8_jit(
         image, mask, sigma=float(sigma), spacing=tuple(spacing),
         truncate=truncate,

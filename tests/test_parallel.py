@@ -61,13 +61,17 @@ def test_sharded_hessian_eig_matches_single_device():
     mesh = make_mesh(8, ("x", "y"))
     want = np.asarray(eigenvalue_features(hessian(img, SPACING)))
     got = np.asarray(sharded_hessian_eig(shard_volume(img, mesh), mesh, SPACING))
-    # the sharded wrapper is a cached jax.jit(shard_map(...)) (round 4:
-    # per-call rebuilds recompiled the program per invocation); jit vs
-    # the eager single-device reference differs by fusion-level rounding,
-    # which the closed-form eigen solve amplifies at conditioning
-    # hotspots of this raw-noise Hessian (measured ~2e-6 abs at value
-    # scale ~1e3). Compare value-sorted eigen sets + the symmetric
-    # channels, like every other eigen parity check in the suite.
+    # Tolerance rationale (round-4, measured): the sharded program and
+    # ANY single-device reference (eager OR jitted — both were tried)
+    # differ by fusion-level f64 rounding that the closed-form eigen
+    # solve amplifies at conditioning hotspots of this raw-noise Hessian
+    # (sharded-vs-jitted-reference measured 9e-5 abs at this scale —
+    # jitting the reference does NOT tighten it). The 1e-5 sorted-set
+    # gate is therefore the honest bound for the EIGEN chain; the tight
+    # 1e-12 structural gates for sharded boundary/stencil correctness
+    # are test_sharded_features8_* (smoothing + gradmag channels) and
+    # the halo-exchange tests — a boundary off-by-one fails those, not
+    # this.
     np.testing.assert_allclose(np.sort(got[..., :3], axis=-1),
                                np.sort(want[..., :3], axis=-1), atol=1e-5)
     np.testing.assert_allclose(got[..., 3:], want[..., 3:], atol=1e-5)
