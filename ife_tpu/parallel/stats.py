@@ -77,6 +77,78 @@ def _masked_minmax(v, m):
     return lo, hi
 
 
+@functools.lru_cache(maxsize=64)
+def _masked_multi_histogram_fn(mesh: Mesh, n_chan: int):
+    """Cached jitted shard_map binning n_chan channels per pass with
+    per-channel edge rows: the weights/mask stream is read once for all
+    channels (kernels.histogram.histogram_counts_multi) instead of once
+    per channel. CPU meshes take the XLA per-channel form (the Pallas
+    kernel has no XLA fallback off-TPU)."""
+    pspec = volume_pspec(mesh)
+
+    def block(*args):
+        chans = args[:n_chan]
+        m, e2d = args[n_chan], args[n_chan + 1]
+        w = (m != 0).astype(jnp.int32)
+        if jax.devices()[0].platform == "tpu":
+            from ife_tpu.kernels.histogram import histogram_counts_multi
+
+            local = histogram_counts_multi(list(chans), e2d, weights=w)
+        else:
+            local = jnp.stack([
+                histogram_counts(chans[c], e2d[c], w)
+                for c in range(n_chan)
+            ])
+        for name in mesh.axis_names:
+            local = jax.lax.psum(local, name)
+        return local
+
+    return jax.jit(shard_map(
+        block, mesh=mesh,
+        in_specs=(pspec,) * n_chan + (pspec, P(None, None)),
+        out_specs=P(None, None), check_vma=False,
+    ))
+
+
+def masked_fine_histograms_multi(
+    channels,
+    mask: jax.Array,
+    mesh: Mesh,
+    n_fine: int = 4096,
+) -> list:
+    """masked_fine_histogram for a TUPLE of channels sharing one mask:
+    per-channel (bounds, counts), all channels binned in shared
+    streaming passes (the mask read once per pass instead of once per
+    channel).
+
+    MEASURED SCOPE (round 4): the shared pass wins when the edges fit
+    ONE kernel block (<=127 — e.g. product histogram specs: config 4
+    measured 23.6 vs 30.4 ms for nine 31-edge histograms) and LOSES for
+    fine many-edge histograms (every edge-block pass re-reads all C+1
+    streams: the 4096-edge 512^3 bin-edges CLI measured 2m52s via this
+    path vs 1m51s per-channel), so sharded_feature_fine_histograms
+    deliberately does NOT use it."""
+    bounds_rows = []
+    for ch in channels:
+        lo, hi = (float(t) for t in _masked_minmax(ch, mask))
+        if not np.isfinite(lo) or not np.isfinite(hi):
+            raise ValueError("masked_fine_histograms_multi: empty mask")
+        if hi <= lo:
+            hi = lo + 1.0
+        bounds_rows.append(np.linspace(lo, hi, n_fine + 1))
+    bounds2d = np.stack(bounds_rows)
+    fn = _masked_multi_histogram_fn(mesh, len(channels))
+    raw = np.asarray(
+        fn(*channels, mask,
+           jnp.asarray(bounds2d, channels[0].dtype)), dtype=np.float64)
+    out = []
+    for c, bounds in enumerate(bounds_rows):
+        counts = raw[c, 1 : n_fine + 1]
+        counts[0] += raw[c, 0]
+        out.append((bounds, counts))
+    return out
+
+
 def histogram_quantile_edges(
     counts: np.ndarray, edges: np.ndarray, n_bins: int
 ) -> np.ndarray:
@@ -210,9 +282,16 @@ def sharded_feature_fine_histograms(
 
     out = []
     for s in sigmas:
-        # stack=False: per-channel tuple — the histogram consumes channels
-        # independently, so the channel-last lane-axis stack (a ~2x
-        # relayout at 512^3) is never materialized
+        # stack=False: per-channel tuple — the channel-last lane-axis
+        # stack (a ~2x relayout at 512^3) is never materialized.
+        # Channels bin ONE AT A TIME on purpose: the shared-pass multi
+        # form was measured SLOWER for fine (4096-edge) histograms —
+        # every edge-block pass re-reads all C+1 streams, 33x, and the
+        # smaller per-channel VMEM blocks it forces lose more than the
+        # shared mask read saves (512^3 CLI: 1m51s single vs 2m52s
+        # multi, warm). masked_fine_histograms_multi remains for
+        # few-edge cases, where one shared pass IS the win (config 4:
+        # 23.6 vs 30.4 ms).
         feats = sharded_features8(img_s, mskf_s, float(s), mesh, spacing,
                                   truncate, use_fused=use_fused,
                                   stack=False)

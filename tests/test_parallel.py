@@ -134,6 +134,29 @@ def test_sharded_masked_histogram_chunked_scan_path():
     np.testing.assert_array_equal(got, want)
 
 
+def test_masked_fine_histograms_multi_matches_single():
+    """The shared-pass multi-channel fine histograms must equal the
+    per-channel form exactly (same bounds, same counts)."""
+    from ife_tpu.parallel.stats import (
+        masked_fine_histogram, masked_fine_histograms_multi,
+    )
+
+    rng = np.random.default_rng(6)
+    mesh = make_mesh(4, ("x",), devices=jax.devices()[:4])
+    chans = tuple(
+        shard_volume(jnp.asarray(rng.standard_normal((16, 16, 16)),
+                                 jnp.float32), mesh)
+        for _ in range(3)
+    )
+    mask = shard_volume(
+        jnp.asarray(rng.uniform(size=(16, 16, 16)) > 0.4, jnp.uint8), mesh)
+    multi = masked_fine_histograms_multi(chans, mask, mesh, n_fine=64)
+    for c, ch in enumerate(chans):
+        b_s, c_s = masked_fine_histogram(ch, mask, mesh, n_fine=64)
+        np.testing.assert_allclose(multi[c][0], b_s)
+        np.testing.assert_array_equal(multi[c][1], c_s)
+
+
 def test_histogram_quantile_edges_approximates_exact():
     rng = np.random.default_rng(0)
     samples = rng.normal(size=200_000)
