@@ -43,6 +43,7 @@ TAGS = {
     "ConvolutionKernel": (0x0018, 0x1210),
     "SliceThickness": (0x0018, 0x0050),
     "ImagePositionPatient": (0x0020, 0x0032),
+    "NumberOfFrames": (0x0028, 0x0008),
     "Rows": (0x0028, 0x0010),
     "Columns": (0x0028, 0x0011),
     "PixelSpacing": (0x0028, 0x0030),
@@ -221,6 +222,15 @@ def read_dicom_series(paths: List[str]) -> Tuple[Volume, Dict[str, str]]:
     planes = []
     for z, d in slices:
         if "PixelDataFragments" in d:
+            # the fragment joiners below assume ONE frame per file (the CT
+            # series layout); a multi-frame file would silently collapse
+            # frames into garbage — refuse it loudly instead
+            nf = _s(d, "NumberOfFrames")
+            if nf and int(float(nf)) > 1:
+                raise ValueError(
+                    f"multi-frame encapsulated DICOM (NumberOfFrames={nf}) "
+                    "is not supported — split into single-frame files"
+                )
             frags = d["PixelDataFragments"]
             if d.get("_ts", b"").decode() == _JPEG_LL:
                 # single-frame files: fragment 0 is the (possibly empty)

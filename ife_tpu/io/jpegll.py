@@ -155,13 +155,21 @@ def decode_jpeg_lossless(data: bytes) -> np.ndarray:
                 bits = list(seg[p + 1 : p + 17])
                 nv = sum(bits)
                 values = list(seg[p + 17 : p + 17 + nv])
-                htables[tc_th & 0x0F] = _build_huffman(bits, values)
+                # lossless scans use DC-class (Tc=0) tables only; an
+                # AC-class table with the same id must NOT overwrite the
+                # DC table the scan references (T.81 B.2.4.2)
+                if (tc_th >> 4) == 0:
+                    htables[tc_th & 0x0F] = _build_huffman(bits, values)
                 p += 17 + nv
         elif marker == _SOS:
             ns = seg[0]
             if ns != 1:
                 raise ValueError("only single-component scans are supported")
             td = seg[2] >> 4  # component 0's DC (lossless) table id
+            if td not in htables:
+                raise ValueError(
+                    f"SOS references undefined Huffman table {td}"
+                )
             predictor = seg[1 + 2 * ns]       # Ss = selection value
             pt = seg[3 + 2 * ns] & 0x0F       # Al = point transform
             pos += seglen

@@ -176,7 +176,10 @@ def _prepare(channels, weights):
     n = channels[0].shape[0]
     lanes = 128
     block = _HIST_BX * lanes
-    pad = (-n) % block
+    # zero-length input still runs one full block of +inf pads (weight 0 /
+    # subtracted from the total): R=0 would make the block math divide by
+    # zero instead of returning the zero counts the XLA path returns
+    pad = (-n) % block if n else block
     if pad:
         channels = [jnp.pad(v, (0, pad), constant_values=np.inf)
                     for v in channels]

@@ -132,8 +132,11 @@ def roi_feature_histograms_device(
       (N, C, E+1) frequencies (counts / masked voxels; nan if empty,
       like the reference's divide-by-zero).
     """
+    # accept a channel-last (X, Y, Z, C) VOLUME (jnp or numpy — an
+    # isinstance(jnp.ndarray) check silently mis-iterated numpy volumes
+    # along axis 0 as if they were channel tuples) or a channel TUPLE
     chans = (tuple(feats[..., k] for k in range(feats.shape[-1]))
-             if isinstance(feats, jnp.ndarray) else tuple(feats))
+             if getattr(feats, "ndim", None) == 4 else tuple(feats))
 
     def one(start):
         crops = [jax.lax.dynamic_slice(ch, tuple(start), size)

@@ -223,3 +223,40 @@ def test_jpegll_rejects_non_lossless_and_multicomponent():
             + _s.pack(">BHHB", 8, 4, 4, 1) + bytes([0, 0x11, 0]))
     with pytest.raises(ValueError, match="SOF3"):
         decode_jpeg_lossless(sof0)
+
+
+def test_jpegll_huffman_table_classes():
+    """An AC-class (Tc=1) DHT with the same table id must not clobber the
+    DC table the lossless scan uses, and an SOS referencing an undefined
+    table raises ValueError (not KeyError) — round-4 advisor findings."""
+    import struct as _s
+
+    import pytest
+
+    from ife_tpu.io.jpegll import decode_jpeg_lossless, encode_jpeg_lossless
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 1 << 12, size=(9, 7)).astype(np.uint16)
+    enc = encode_jpeg_lossless(img, precision=12)
+
+    # insert a garbage AC-class table (Tc=1, Th=0) right after SOI: if the
+    # decoder keyed tables by id alone, this segment (parsed before the
+    # real DC table only if inserted later) could shadow it — insert it
+    # AFTER the real DHT to exercise the overwrite direction that bit
+    dht_at = enc.find(_s.pack(">H", 0xFFC4))
+    assert dht_at > 0
+    seglen = _s.unpack_from(">H", enc, dht_at + 2)[0]
+    end = dht_at + 2 + seglen
+    ac_bits = [0] * 16
+    ac_bits[0] = 1  # one 1-bit code mapping to a bogus ssss
+    ac_seg = bytes([0x10] + ac_bits + [15])
+    ac_dht = _s.pack(">HH", 0xFFC4, 2 + len(ac_seg)) + ac_seg
+    patched = enc[:end] + ac_dht + enc[end:]
+    np.testing.assert_array_equal(decode_jpeg_lossless(patched), img)
+
+    # change the real DC table's id to 1 while the SOS still references 0
+    tc_th_at = dht_at + 4
+    assert enc[tc_th_at] == 0x00
+    broken = enc[:tc_th_at] + b"\x01" + enc[tc_th_at + 1:]
+    with pytest.raises(ValueError, match="undefined Huffman table"):
+        decode_jpeg_lossless(broken)

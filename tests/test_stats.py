@@ -171,6 +171,27 @@ def test_histogram_counts_pallas_multiblock_edges():
     np.testing.assert_array_equal(got.astype(np.int64), want)
 
 
+def test_histogram_counts_pallas_empty_input():
+    """Zero-length values must return zero counts (the round-4 advisor
+    found a ZeroDivisionError in the block math on empty f32 input —
+    an empty masked selection must behave like the XLA path)."""
+    from ife_tpu.kernels.histogram import (
+        histogram_counts_multi, histogram_counts_pallas,
+    )
+
+    edges = jnp.asarray([0.0, 1.0, 2.0], jnp.float32)
+    got = np.asarray(histogram_counts_pallas(
+        jnp.zeros((0,), jnp.float32), edges, interpret=True))
+    np.testing.assert_array_equal(got, np.zeros(4, np.int64))
+    gotw = np.asarray(histogram_counts_pallas(
+        jnp.zeros((0,), jnp.float32), edges,
+        jnp.zeros((0,), jnp.int32), interpret=True))
+    np.testing.assert_array_equal(gotw, np.zeros(4, np.int64))
+    gotm = np.asarray(histogram_counts_multi(
+        [jnp.zeros((0,), jnp.float32)] * 2, edges, interpret=True))
+    np.testing.assert_array_equal(gotm, np.zeros((2, 4), np.int64))
+
+
 def test_histogram_counts_multi_matches_per_channel():
     """The multi-channel kernel (one pass, shared weights stream) must
     equal per-channel histogram_counts exactly — shared and per-channel
