@@ -128,6 +128,8 @@ def masked_fine_histograms_multi(
     streams: the 4096-edge 512^3 bin-edges CLI measured 2m52s via this
     path vs 1m51s per-channel), so sharded_feature_fine_histograms
     deliberately does NOT use it."""
+    from ife_tpu.stats.histogram import snap_pow2_grid
+
     bounds_rows = []
     for ch in channels:
         lo, hi = (float(t) for t in _masked_minmax(ch, mask))
@@ -135,7 +137,15 @@ def masked_fine_histograms_multi(
             raise ValueError("masked_fine_histograms_multi: empty mask")
         if hi <= lo:
             hi = lo + 1.0
-        bounds_rows.append(np.linspace(lo, hi, n_fine + 1))
+        # SAME grid choice as masked_fine_histogram (the snapped
+        # power-of-two grid when it applies) so the two paths return
+        # identical (bounds, counts) pairs; the compare-reduce kernel is
+        # exact on any f32-representable edges, snapped included
+        snapped = (snap_pow2_grid(lo, hi, n_fine)
+                   if n_fine % 64 == 0 and ch.dtype == jnp.float32
+                   else None)
+        bounds_rows.append(snapped[2] if snapped is not None
+                           else np.linspace(lo, hi, n_fine + 1))
     bounds2d = np.stack(bounds_rows)
     fn = _masked_multi_histogram_fn(mesh, len(channels))
     raw = np.asarray(
@@ -181,6 +191,29 @@ def histogram_quantile_edges(
     return edges_from_dense_counts(bounds, counts, n_bins)
 
 
+@functools.lru_cache(maxsize=16)
+def _masked_fine_mxu_fn(mesh: Mesh, n_fine: int):
+    """Cached jitted shard_map of the arithmetic/MXU fine binning
+    (stats.histogram.uniform_histogram_counts): the grid scalars (m, w)
+    ride as traced PARAMETERS, so ONE compile serves every channel and
+    image of the bin-edges pipeline (the per-(channel, grid) recompile
+    was most of the round-4 CLI's 1m51s)."""
+    pspec = volume_pspec(mesh)
+    from ife_tpu.stats.histogram import uniform_histogram_counts
+
+    def block(v, m, mf, wf):
+        w01 = (m != 0).astype(jnp.int32)
+        local = uniform_histogram_counts(v, w01, mf, wf, n_fine)
+        for name in mesh.axis_names:
+            local = jax.lax.psum(local, name)
+        return local
+
+    return jax.jit(shard_map(
+        block, mesh=mesh, in_specs=(pspec, pspec, P(), P()),
+        out_specs=P(), check_vma=False,
+    ))
+
+
 def masked_fine_histogram(
     values: jax.Array,
     mask: jax.Array,
@@ -188,8 +221,16 @@ def masked_fine_histogram(
     n_fine: int = 4096,
 ) -> tuple:
     """(bounds, counts) fine dense histogram of values[mask != 0], computed
-    fully on-mesh: a psum min/max pass sets the range, then one
-    `sharded_masked_histogram` pass fills `n_fine` equal-width bins.
+    fully on-mesh: a psum min/max pass sets the range, then one binning
+    pass fills `n_fine` equal-width bins.
+
+    The bins come from the power-of-two snapped grid
+    (stats.histogram.snap_pow2_grid), binned arithmetically with MXU
+    one-hot accumulation — integer-exact searchsorted semantics at ~1/30
+    the VPU work of the 33-pass compare-reduce the fine edge count forced
+    in round 4. When the grid guard trips (near-constant field far from
+    zero) or n_fine is not a multiple of 64, the compare-reduce path over
+    a linspace grid serves as the exact fallback.
 
     This is the per-image building block of the scalable bin-edge pipeline
     (replacing the reference's host-side sample vector + global sort,
@@ -201,6 +242,20 @@ def masked_fine_histogram(
         raise ValueError("masked_fine_histogram: mask selects no voxels")
     if hi <= lo:  # constant field: one degenerate bin still inverts cleanly
         hi = lo + 1.0
+
+    from ife_tpu.stats.histogram import snap_pow2_grid
+
+    snapped = (snap_pow2_grid(lo, hi, n_fine)
+               if n_fine % 64 == 0 and values.dtype == jnp.float32 else None)
+    if snapped is not None:
+        m, k, bounds = snapped
+        fn = _masked_fine_mxu_fn(mesh, n_fine)
+        counts = np.asarray(
+            fn(values, mask, jnp.float32(m), jnp.float32(np.ldexp(1.0, k))),
+            dtype=np.float64,
+        )
+        return bounds, counts
+
     bounds = np.linspace(lo, hi, n_fine + 1)
     raw = np.asarray(
         sharded_masked_histogram(values, mask, jnp.asarray(bounds, values.dtype), mesh),

@@ -167,6 +167,139 @@ def batched_histogram_counts(
     return fn(values, edges, weights)
 
 
+# ---------------------------------------------------------------------------
+# fine (many-bin) equal-width histograms: arithmetic binning + MXU one-hot
+# ---------------------------------------------------------------------------
+
+def snap_pow2_grid(lo: float, hi: float, n_fine: int):
+    """Snap [lo, hi] to a power-of-two uniform grid e_j = (m + j)·w,
+    j = 0..n_fine, with w = 2^k and m integer: the edge set for which
+    searchsorted-left binning reduces EXACTLY to f32 arithmetic (see
+    uniform_histogram_counts). Returns (m, k, bounds_f64) — every e_j is
+    exactly f32-representable — or None when the grid cannot satisfy the
+    exactness guard |m| + n_fine + 2 <= 2^22 (a near-constant field far
+    from zero: range/|lo| < ~2^-10; callers fall back to the
+    compare-reduce path there).
+
+    The grid covers at least [lo, hi] (e_0 <= lo, e_{n_fine} >= hi) and
+    at most twice its width — the CDF-inversion consumers of the scalable
+    bin-edge pipeline take (bounds, counts) pairs, so a widened grid only
+    halves (at worst) the fine resolution, bounded like any other
+    source-bin-width error of the merge step.
+    """
+    lo = float(lo)
+    hi = float(hi)
+    if not (np.isfinite(lo) and np.isfinite(hi)) or hi <= lo or n_fine < 1:
+        return None
+    # w >= range/(n_fine-1) guarantees e_{n_fine} = e_0 + n_fine*w >= hi
+    # even with e_0 = lo - (w - ulp)
+    k = int(np.ceil(np.log2((hi - lo) / max(n_fine - 1, 1))))
+    if not (-120 <= k <= 120):  # stay far from f32 subnormal/overflow
+        return None
+    w = float(np.ldexp(1.0, k))
+    m = int(np.floor(lo / w))
+    if abs(m) + n_fine + 2 > (1 << 22):
+        return None
+    bounds = (m + np.arange(n_fine + 1, dtype=np.float64)) * w
+    return m, k, bounds
+
+
+def uniform_histogram_counts(
+    values: jnp.ndarray,
+    weights01: jnp.ndarray,
+    m: jnp.ndarray,
+    w: jnp.ndarray,
+    n_fine: int,
+) -> jnp.ndarray:
+    """Merged-tail counts over the power-of-two grid of snap_pow2_grid:
+    (n_fine,) int32, bin b = {x : e_b < x <= e_{b+1}} with bin 0
+    additionally holding x <= e_0 — exactly the reference searchsorted
+    convention (DenseHistogram.h:13-78) after the fine pipeline's
+    tail-merge (counts[0] += raw[0]; the upper tail is empty because the
+    grid covers [lo, hi]).
+
+    TPU-first replacement for the ceil(E/127)-pass compare-reduce at
+    large E (the round-4 fine histogram burned 4096 VPU compare/adds per
+    voxel, 285-397 ms/channel at 512^3): on THIS edge family the bin
+    index is pure arithmetic — d = (x - e_0)·2^-k, floor, then a 3-edge
+    windowed correction where each candidate edge is RECONSTRUCTED as
+    (m + j)·w (exact in f32: |m| + j <= 2^22 by the snap guard, w a power
+    of two — no gathers, no Sterbenz assumptions; fl(x - e_0) may round,
+    which only perturbs the candidate by ±1, and the correction compares
+    x against exact edge VALUES). Accumulation rides the MXU: the index
+    splits into coarse (b >> 6) and fine (b & 63) halves, their one-hot
+    rows (chunk, 64) — exact in bf16, 0/1 entries — meet in one
+    dot_general per chunk, accumulating all n_fine bins in f32 (exact to
+    2^24 per chunk) — ~130 VPU ops + 2·64·64 MXU flops per voxel instead
+    of 4096 VPU ops.
+
+    Args:
+      values: f32, any shape (flattened).
+      weights01: SAME size, 0/1 weights (the mask convention of the fine
+        pipeline — general integer weights belong to histogram_counts).
+      m, w: the snapped grid's integer offset and bin width (from
+        snap_pow2_grid), as 0-d f32 arrays — traced PARAMETERS, so one
+        compile serves every (channel, image) grid.
+      n_fine: static bin count, a multiple of 64.
+    """
+    if n_fine % 64:
+        raise ValueError("n_fine must be a multiple of 64")
+    G = n_fine // 64
+    v = values.reshape(-1).astype(jnp.float32)
+    w01 = weights01.reshape(-1).astype(jnp.int32)
+    mf = jnp.asarray(m, jnp.float32)
+    wf = jnp.asarray(w, jnp.float32)
+    inv_w = 1.0 / wf  # reciprocal of a power of two: exact
+    L = mf * wf       # e_0; |m| <= 2^22 -> exact
+
+    iota_c = jnp.arange(G, dtype=jnp.int32)[None, :]
+    iota_f = jnp.arange(64, dtype=jnp.int32)[None, :]
+
+    def block_counts(x, ww):
+        d = (x - L) * inv_w
+        d = jnp.where(jnp.isnan(d), 0.0, d)  # weight-0 lanes only
+        j0 = jnp.clip(jnp.floor(d), 0.0, float(n_fine))
+        # windowed correction: the true bin b = #{e_j < x} is within 1 of
+        # floor(d) (|fl(x-e_0)·inv_w - d_true| < 2^-12 here), and each
+        # (m + j0 + t)·w below is the exact f64 edge value, so the three
+        # comparisons pin b exactly
+        b = j0.astype(jnp.int32) - 1
+        for t in (-1.0, 0.0, 1.0):
+            b = b + (x > (mf + (j0 + t)) * wf)
+        ob = jnp.clip(b, 1, n_fine) - 1  # tail merge + garbage clamp
+        c = ob >> 6
+        f = ob & 63
+        ohc = ((c[:, None] == iota_c) & (ww[:, None] != 0)).astype(
+            jnp.bfloat16)
+        ohf = (f[:, None] == iota_f).astype(jnp.bfloat16)
+        return jax.lax.dot_general(
+            ohc, ohf, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (G, 64) exact integer-valued f32
+
+    chunk = 1 << 19
+    n = v.shape[0]
+    if n <= chunk:
+        acc = (block_counts(v, w01).astype(jnp.int32) if n
+               else jnp.zeros((G, 64), jnp.int32))
+    else:
+        pad = (-n) % chunk
+        if pad:  # pad weight 0: lands in some bin with zero contribution
+            v = jnp.pad(v, (0, pad))
+            w01 = jnp.pad(w01, (0, pad))
+        vc = v.reshape(-1, chunk)
+        wc = w01.reshape(-1, chunk)
+
+        # int32 carry: each chunk's f32 matmul counts are exact (< 2^19
+        # per bin), but the cross-chunk total can pass 2^24
+        def body(acc, xs):
+            return acc + block_counts(xs[0], xs[1]).astype(jnp.int32), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((G, 64), jnp.int32),
+                              (vc, wc))
+    return acc.reshape(-1)
+
+
 class DenseHistogram:
     """Host-side accumulating histogram mirroring the reference class API
     (insert / get_counts / get_frequencies / reset_counts), but with

@@ -192,6 +192,69 @@ def test_histogram_counts_pallas_empty_input():
     np.testing.assert_array_equal(gotm, np.zeros((2, 4), np.int64))
 
 
+def test_snap_pow2_grid_properties():
+    """Grid covers [lo, hi], width is a power of two, every edge is
+    exactly f32-representable, and the exactness guard trips to None for
+    near-constant fields far from zero."""
+    from ife_tpu.stats.histogram import snap_pow2_grid
+
+    cases = [(-1000.0, 500.0), (0.0, 1.0), (-3.5e-4, 2.1e-4),
+             (1e6, 2e6), (-7.25, -7.0), (0.0, 1e-30)]
+    for lo, hi in cases:
+        m, k, bounds = snap_pow2_grid(lo, hi, 4096)
+        w = np.ldexp(1.0, k)
+        assert bounds[0] <= lo and bounds[-1] >= hi, (lo, hi)
+        np.testing.assert_array_equal(np.diff(bounds), w)
+        np.testing.assert_array_equal(
+            bounds.astype(np.float32).astype(np.float64), bounds)
+    # near-constant far from zero: |m| blows the 2^22 guard
+    assert snap_pow2_grid(1e8, 1e8 + 1.0, 4096) is None
+    assert snap_pow2_grid(2.0, 2.0, 4096) is None  # degenerate range
+
+
+def test_uniform_histogram_counts_exact_vs_searchsorted():
+    """The arithmetic/MXU binning must be INTEGER-EXACT against the
+    searchsorted-left oracle on its snapped grid: on-edge values,
+    zero-crossing ranges, grids far from zero (the Sterbenz-free
+    windowed-correction cases), 0/1 weights, and the chunked path."""
+    from ife_tpu.stats.histogram import (
+        snap_pow2_grid, uniform_histogram_counts,
+    )
+
+    rng = np.random.default_rng(21)
+
+    def oracle(v, w01, bounds, n_fine):
+        raw = np.zeros(bounds.size + 1, np.int64)
+        np.add.at(raw, np.searchsorted(bounds, v.astype(np.float64),
+                                       "left"), w01)
+        c = raw[1 : n_fine + 1].copy()
+        c[0] += raw[0]
+        assert raw[n_fine + 1] == 0  # grid covers the data
+        return c
+
+    cases = [
+        ((-1000.0, 500.0), 4096, 50_000),   # zero-crossing CT-like
+        ((1.0e5, 1.3e5), 4096, 30_000),     # large positive m
+        ((-9.0, -2.0), 256, 20_000),        # negative range
+        ((0.0, 1.0), 64, 10_000),           # m = 0
+        ((-2.0e-3, 1.0e-3), 4096, 700_000),  # chunked (> 2^19) + tiny w
+    ]
+    for (lo, hi), n_fine, n in cases:
+        m, k, bounds = snap_pow2_grid(lo, hi, n_fine)
+        v = rng.uniform(lo, hi, size=n).astype(np.float32)
+        # land many values EXACTLY on edges (and the range ends)
+        v[: n_fine + 1] = bounds.astype(np.float32)[: n_fine + 1][
+            : min(n, n_fine + 1)]
+        v[-2:] = [np.float32(lo), np.float32(hi)]
+        w01 = (rng.uniform(size=n) > 0.3).astype(np.int32)
+        got = np.asarray(uniform_histogram_counts(
+            jnp.asarray(v), jnp.asarray(w01),
+            jnp.float32(m), jnp.float32(np.ldexp(1.0, k)), n_fine))
+        np.testing.assert_array_equal(
+            got.astype(np.int64), oracle(v, w01, bounds, n_fine),
+            err_msg=f"range=({lo},{hi}) n_fine={n_fine}")
+
+
 def test_histogram_counts_multi_matches_per_channel():
     """The multi-channel kernel (one pass, shared weights stream) must
     equal per-channel histogram_counts exactly — shared and per-channel
