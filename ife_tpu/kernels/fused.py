@@ -775,6 +775,120 @@ def _features8_sweep_kernel(im_ref, mk_ref, o0, o1, o2, o3, o4, o5, o6, o7,
         ref[:] = jnp.where(inside, val, zero)
 
 
+def _features8_xs_stream_kernel(n_ref, d_ref, m_ref, o0, o1, o2, o3, o4,
+                                o5, o6, o7, ring_n, ring_d, s_carry, *, R,
+                                n_blocks, bx, L, rx, taps_x, hx, hy, hz,
+                                x_true):
+    """Streaming xs features8: the x-axis Gaussian pass, the no-epsilon
+    normalized-convolution divide, and the whole gradient/Hessian/eigen/
+    mask chain in ONE pass over the y/z-smoothed numerator and
+    denominator volumes.
+
+    Structure = _features8_sweep_kernel minus the y/z taps (those axes
+    arrive pre-smoothed on the MXU band einsums, which are
+    radius-independent — r4_probe14/15): input rows ring-buffered in
+    VMEM, x taps as dynamic ring reads, lagged output map
+    (L = ceil((rx+1)/bx)). vs the fully-staged path (6 MXU passes +
+    divide + post_stream) this removes the two x-axis MXU passes, the
+    divide pass, and the smoothed volume's full HBM round trip — per
+    scale: 11 volume traversals instead of ~18. The VMEM rings scale
+    with the x radius only (2 fields x (2rx+4) rows), so this serves
+    radii whose rings fit next to the block pipeline — the whole bench
+    scale range at 256^2 slices, rx <= ~9 at 512^2.
+
+    The mask block rides the OUTPUT index map (consumed when block
+    i-L's features are emitted), exactly like the post_stream kernel.
+    Semantics: reference NormalizedGaussianConvolutionImageFilter
+    .hxx:40-63 (x stage + divide) + ImageToEmphysemaFeaturesFilter
+    .hxx:14-55 (feature chain + masking).
+    """
+    i = pl.program_id(0)
+    dt = n_ref.dtype
+
+    ncur = n_ref[:]
+    dcur = d_ref[:]
+    # tail steps re-read the last block; the clamp replica is its LAST
+    # row (ZeroFluxNeumann of the y/z-smoothed field along x — exactly
+    # gaussian_smooth_axis(axis=0)'s edge pad on that field)
+    tail = i >= n_blocks
+    app_n = jnp.where(tail, jnp.broadcast_to(ncur[-1:], ncur.shape), ncur)
+    app_d = jnp.where(tail, jnp.broadcast_to(dcur[-1:], dcur.shape), dcur)
+
+    @pl.when(i == 0)
+    def _():
+        for r in range(R):
+            ring_n[pl.ds(r, 1)] = ncur[0:1]
+            ring_d[pl.ds(r, 1)] = dcur[0:1]
+
+    base = jax.lax.rem(jnp.int32(i) * bx, jnp.int32(R))
+    ring_n[pl.ds(base, bx)] = app_n
+    ring_d[pl.ds(base, bx)] = app_d
+
+    k = i - L  # the feature block emitted this step
+
+    def read(ring, r):
+        rr = jnp.int32(R)
+        slot = jax.lax.rem(jax.lax.rem(jnp.int32(r), rr) + rr, rr)
+        return ring[pl.ds(slot, 1)]
+
+    def xpass_row(ring, t):
+        acc = jnp.asarray(taps_x[0], dt) * read(ring, t - rx)
+        for j in range(1, len(taps_x)):
+            acc = acc + jnp.asarray(taps_x[j], dt) * read(ring, t - rx + j)
+        return acc
+
+    # carried smoothed window: rows [k*bx-1, k*bx] are the last two of
+    # the previous step's window; complete bx new smoothed rows
+    s_carry[pl.ds(0, 1)] = s_carry[pl.ds(bx, 1)]
+    s_carry[pl.ds(1, 1)] = s_carry[pl.ds(bx + 1, 1)]
+    for sub in range(bx):
+        t = jnp.int32(k) * bx + 1 + sub
+        s_carry[pl.ds(2 + sub, 1)] = xpass_row(ring_n, t) / xpass_row(
+            ring_d, t)
+
+    s = s_carry[:]  # (bx+2, Yp, Z): smoothed rows k*bx-1 .. k*bx+bx
+    sm = s[:-2]
+    s0 = s[1:-1]
+    sp = s[2:]
+    # stencil phantom-row clamp at the true x faces: the smoothed-at-
+    # phantom value is NOT the ZeroFluxNeumann neighbor of the stencil
+    grow = jax.lax.broadcasted_iota(jnp.int32, s0.shape, 0) + k * bx
+    sm = jnp.where(grow <= 0, s0, sm)
+    sp = jnp.where(grow >= x_true - 1, s0, sp)
+
+    r2x = jnp.asarray(1.0 / (2.0 * hx), dt)
+    r2y = jnp.asarray(1.0 / (2.0 * hy), dt)
+    r2z = jnp.asarray(1.0 / (2.0 * hz), dt)
+    rxx = jnp.asarray(1.0 / (hx * hx), dt)
+    ryy = jnp.asarray(1.0 / (hy * hy), dt)
+    rzz = jnp.asarray(1.0 / (hz * hz), dt)
+
+    dxx = (sp - 2 * s0 + sm) * rxx
+    s_yp = _clamp_shift_y(s0, 1)
+    s_ym = _clamp_shift_y(s0, -1)
+    dyy = (s_yp - 2 * s0 + s_ym) * ryy
+    s_zp = _clamp_shift_z(s0, 1)
+    s_zm = _clamp_shift_z(s0, -1)
+    dzz = (s_zp - 2 * s0 + s_zm) * rzz
+    dx = (sp - sm) * r2x
+    dxy = (_clamp_shift_y(dx, 1) - _clamp_shift_y(dx, -1)) * r2y
+    dxz = (_clamp_shift_z(dx, 1) - _clamp_shift_z(dx, -1)) * r2z
+    dy = (s_yp - s_ym) * r2y
+    dyz = (_clamp_shift_z(dy, 1) - _clamp_shift_z(dy, -1)) * r2z
+    dz = (s_zp - s_zm) * r2z
+    gm = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+
+    feats = eigenvalue_feature_channels(
+        dxx, dxy, dxz, dyy, dyz, dzz, use_trig=False, diag_path=False
+    )
+    inside = m_ref[:] != 0
+    zero = jnp.asarray(0, dt)
+    o0[:] = jnp.where(inside, s0, zero)
+    o1[:] = jnp.where(inside, gm, zero)
+    for ref, val in zip((o2, o3, o4, o5, o6, o7), feats):
+        ref[:] = jnp.where(inside, val, zero)
+
+
 def _nc_sweep_kernel(im_ref, mk_ref, o_ref, ring_n, ring_m, *, R,
                      rx, taps_x, taps_y, taps_z):
     """Line-sweep normalized Gaussian convolution: one smoothed row per
@@ -1180,6 +1294,110 @@ def fused_hessian_eig_stream(
 
 
 @functools.partial(
+    jax.jit, static_argnames=("sigma", "spacing", "truncate", "block",
+                              "interpret", "stack")
+)
+def fused_features8_xs_stream(
+    num_yz: jax.Array,
+    den_yz: jax.Array,
+    mask: jax.Array,
+    sigma: float,
+    spacing: Sequence[float] = (1.0, 1.0, 1.0),
+    truncate: float = 4.5,
+    block: int = 1,
+    interpret: bool = False,
+    stack: bool = True,
+):
+    """features8 from the y/z-smoothed numerator (image*mask) and
+    denominator (mask) volumes: the x-axis smoothing pass, the no-epsilon
+    divide, and the gradient/Hessian/eigen/mask chain in one streaming
+    Pallas pass (see _features8_xs_stream_kernel). The staged path's
+    replacement tail where the rings fit: removes the two x-axis MXU
+    passes, the divide pass, and the smoothed volume's HBM round trip.
+
+    `mask` is the CLAMPED {0,1} mask (callers clamp, mirroring the
+    reference's ClampImageFilter placement). Returns (8, X, Y, Z) when
+    stack=True, else a tuple of 8 arrays; jnp.moveaxis(out, 0, -1)
+    matches ops.features.features8.
+    """
+    hx, hy, hz = (float(v) for v in spacing)
+    taps_x, rx = _smooth_taps(float(sigma), hx, float(truncate))
+
+    X, Y, Zin = num_yz.shape
+    m = mask.astype(num_yz.dtype)
+    Z = Zin if interpret else -(-Zin // 128) * 128
+    Yp = Y if interpret else -(-Y // 8) * 8
+    if (Yp, Z) != (Y, Zin):
+        # edge replicas: the x-pass is per-column so padded columns stay
+        # exact replicas, and the kernel's y/z stencil clamps then read
+        # true clamp values at the kept region's faces
+        pads = ((0, 0), (0, Yp - Y), (0, Z - Zin))
+        num_yz = jnp.pad(num_yz, pads, mode="edge")
+        den_yz = jnp.pad(den_yz, pads, mode="edge")
+        m = jnp.pad(m, pads, mode="edge")
+    bx = max(1, int(block))
+    Xp = -(-X // bx) * bx
+    if Xp != X:
+        padx = ((0, Xp - X), (0, 0), (0, 0))
+        num_yz = jnp.pad(num_yz, padx, mode="edge")
+        den_yz = jnp.pad(den_yz, padx, mode="edge")
+        m = jnp.pad(m, padx, mode="edge")
+    n_blocks = Xp // bx
+    L = -(-(rx + 1) // bx)
+    R = (-(-(2 * rx + 2) // bx) + 2) * bx
+
+    kernel = functools.partial(
+        _features8_xs_stream_kernel, R=R, n_blocks=n_blocks, bx=bx, L=L,
+        rx=rx, taps_x=taps_x, hx=hx, hy=hy, hz=hz, x_true=X,
+    )
+    in_spec = pl.BlockSpec(
+        (bx, Yp, Z), lambda i: (jnp.minimum(i, n_blocks - 1), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (bx, Yp, Z), lambda i: (jnp.maximum(i - L, 0), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_blocks + L,),
+        # the mask rides the OUTPUT (lagged) index map
+        in_specs=[in_spec, in_spec, out_spec],
+        out_specs=[out_spec] * 8,
+        out_shape=[jax.ShapeDtypeStruct((Xp, Yp, Z), num_yz.dtype)] * 8,
+        scratch_shapes=[
+            pltpu.VMEM((R, Yp, Z), num_yz.dtype),
+            pltpu.VMEM((R, Yp, Z), num_yz.dtype),
+            pltpu.VMEM((bx + 2, Yp, Z), num_yz.dtype),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(num_yz, den_yz, m)
+    if (Xp, Yp, Z) != (X, Y, Zin):
+        outs = [o[:X, :Y, :Zin] for o in outs]
+    if stack:
+        return jnp.stack(outs, axis=0)
+    return tuple(outs)
+
+
+# the xs-stream kernel's two input rings must fit VMEM next to the block
+# pipeline and the Mosaic stack temporaries; same 44 MB calibration as
+# the full sweep (the stencil/eigen tail is identical) until measured
+_XS_RING_BUDGET = 44 * 1024 * 1024
+
+
+def _xs_stream_fits(sigma, spacing, shape, truncate=4.5):
+    import math
+
+    rx = max(1, math.ceil(truncate * float(sigma) / float(spacing[0])))
+    Yp = -(-shape[1] // 8) * 8
+    Z = -(-shape[2] // 128) * 128
+    return 2 * (2 * rx + 4) * Yp * Z * 4 <= _XS_RING_BUDGET
+
+
+@functools.partial(
     jax.jit, static_argnames=("sigma", "spacing", "truncate",
                               "interpret", "stack")
 )
@@ -1219,10 +1437,31 @@ def fused_features8(
         s = fused_normalized_conv_sweep(
             image, m.astype(image.dtype), sigma, spacing, truncate
         )
+    elif (not interpret and jax.devices()[0].platform == "tpu"
+          and _xs_stream_fits(sigma, spacing, image.shape, truncate)):
+        # larger radii whose x rings still fit: y/z smoothing on the MXU
+        # band einsums (radius-independent), then the x pass + divide +
+        # feature chain in ONE streaming kernel — removes the two x-axis
+        # MXU passes, the divide pass, and the smoothed volume's HBM
+        # round trip vs the fully-staged path (11 volume traversals per
+        # scale instead of ~18)
+        from ife_tpu.ops.stencil import gaussian_smooth_axis
+
+        mf = m.astype(image.dtype)
+
+        def smooth_yz(v):
+            v = gaussian_smooth_axis(v, 1, sigma, spacing[1], truncate)
+            return gaussian_smooth_axis(v, 2, sigma, spacing[2], truncate)
+
+        return fused_features8_xs_stream(
+            smooth_yz(image * mf), smooth_yz(mf), m, sigma, spacing,
+            truncate, interpret=interpret, stack=stack,
+        )
     else:
-        # larger radii: the MXU band-einsum path is ~radius-independent
-        # (~23 ms/512^3) while the sweep's tap cost grows linearly with
-        # the radius (r4_probe14/15) — the measured crossover is rx ~ 10
+        # largest radii: the MXU band-einsum path is ~radius-independent
+        # (~23 ms/512^3) while the sweep/ring tap cost grows linearly
+        # with the radius (r4_probe14/15) — the measured crossover is
+        # rx ~ 10
         s = normalized_gaussian_convolution(
             image, m.astype(image.dtype), sigma, spacing, truncate
         )

@@ -417,6 +417,69 @@ def test_sweep_fused_prime_extents_and_blocks():
                                   1e-7)
 
 
+# ---------------------------------------------------------------------------
+# fused_features8_xs_stream (x smoothing + divide + chain over y/z-smoothed
+# numerator/denominator — the staged path's fused tail)
+# ---------------------------------------------------------------------------
+
+
+def _xs_stream(x, mask, sigma, **kw):
+    import jax.numpy as jnp
+
+    from ife_tpu.kernels.fused import fused_features8_xs_stream
+    from ife_tpu.ops.stencil import gaussian_smooth_axis
+
+    m = jnp.clip(mask, 0, 1)
+    mf = m.astype(x.dtype)
+
+    def smooth_yz(v):
+        v = gaussian_smooth_axis(v, 1, sigma, SPACING[1])
+        return gaussian_smooth_axis(v, 2, sigma, SPACING[2])
+
+    return np.moveaxis(
+        np.asarray(fused_features8_xs_stream(
+            smooth_yz(x * mf), smooth_yz(mf), m, sigma, SPACING,
+            interpret=True, **kw)), 0, -1,
+    )
+
+
+def test_xs_stream_matches_ops_f64():
+    from ife_tpu.core.volume import sphere_mask
+    from ife_tpu.ops.features import features8
+
+    x = synthetic_ct((16, 16, 16), seed=5, dtype=jnp.float64).data
+    mask = sphere_mask((16, 16, 16), 0.45).data
+    want = np.asarray(features8(x, mask, 1.1, SPACING))
+    got = _xs_stream(x, mask, 1.1)
+    outside = np.asarray(mask) == 0
+    assert np.all(got[outside] == 0)
+    _features8_channel_parity(got, want, 1e-7)
+
+
+def test_xs_stream_radius_larger_than_volume():
+    # every ring slot is boundary-fed; seeding + tail re-reads must
+    # reproduce clamp smoothing of the y/z-smoothed field exactly
+    from ife_tpu.core.volume import sphere_mask
+    from ife_tpu.ops.features import features8
+
+    x = synthetic_ct((16, 16, 16), seed=6, dtype=jnp.float64).data
+    mask = sphere_mask((16, 16, 16), 0.45).data
+    want = np.asarray(features8(x, mask, 2.5, SPACING))
+    _features8_channel_parity(_xs_stream(x, mask, 2.5), want, 1e-7)
+
+
+def test_xs_stream_prime_extents_and_blocks():
+    from ife_tpu.core.volume import sphere_mask
+    from ife_tpu.ops.features import features8
+
+    x = synthetic_ct((13, 11, 16), seed=7, dtype=jnp.float64).data
+    mask = sphere_mask((13, 11, 16), 0.45).data
+    want = np.asarray(features8(x, mask, 0.9, SPACING))
+    for blk in (1, 2, 4):
+        _features8_channel_parity(_xs_stream(x, mask, 0.9, block=blk),
+                                  want, 1e-7)
+
+
 def test_post_stream_matches_windowed_post():
     """The streaming post-smoothing kernel vs the windowed one vs the
     composed op, plain and pre_padded, including prime extents."""
