@@ -276,10 +276,11 @@ def conf_make_bag(p):
                    metavar="X,Y,Z")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--device", action="store_true",
-                   help="histogram the ROIs on device (uniform ROI size)")
+                   help="histogram the ROIs on device (mixed ROI sizes run per size class)")
     p.add_argument("--sharded", action="store_true",
                    help="block-shard the feature pass over all devices; the "
-                   "feature volume never touches the host (uniform ROI size)")
+                   "feature volume never touches the host (mixed ROI sizes "
+                   "run per size class)")
     _add_distributed_flags(p)
 
 

@@ -245,6 +245,14 @@ def test_make_bag_sharded_matches_host_bag():
     got = make_bag_sharded(img_np, mask_np, sigmas, hist_edges, rois, mesh,
                            SPACING)
     np.testing.assert_allclose(got, want, atol=1e-6)
+    # mixed ROI sizes: per-size-class device programs, same rows
+    R = type(rois[0])
+    mixed = rois[:3] + [R(rois[3].index, (5, 7, 5)),
+                        R(rois[4].index, (5, 7, 5)), rois[5]]
+    want_m = make_bag(img_np, mask_np, sigmas, hist_edges, mixed, SPACING)
+    got_m = make_bag_sharded(img_np, mask_np, sigmas, hist_edges, mixed,
+                             mesh, SPACING)
+    np.testing.assert_allclose(got_m, want_m, atol=1e-6)
 
 
 def test_sharded_runs_are_bitwise_deterministic():
