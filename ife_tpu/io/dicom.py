@@ -6,13 +6,16 @@ output from PatientID/StudyDate/ConvolutionKernel/SliceSpacing tags.
 
 Scope: uncompressed little-endian transfer syntaxes (Implicit VR
 1.2.840.10008.1.2 and Explicit VR 1.2.840.10008.1.2.1), RLE Lossless
-(1.2.840.10008.1.2.5, PackBits segments), and JPEG Lossless SV1
-(1.2.840.10008.1.2.4.70, process 14 first-order prediction — the most
-common compressed CT archive syntax; decoder in ife_tpu.io.jpegll) with
-monochrome int8/16 pixels. Remaining compressed syntaxes (lossy JPEG,
-JPEG 2000) raise a clear error listing what is supported. This is a
-deliberate from-scratch parser (the environment has no pydicom; the
-reference used ITK's GDCM).
+(1.2.840.10008.1.2.5, PackBits segments), JPEG Lossless SV1
+(1.2.840.10008.1.2.4.70, process 14 first-order prediction; decoder in
+ife_tpu.io.jpegll), and JPEG-LS (1.2.840.10008.1.2.4.80 lossless /
+...4.81 near-lossless, T.87 LOCO-I; codec in ife_tpu.io.jpegls) with
+monochrome int8/16 pixels — together the common compressed CT archive
+syntaxes the reference reads through GDCM. The remaining compressed
+syntaxes (lossy JPEG, JPEG 2000 — a full wavelet/EBCOT codec is
+deliberately scoped out) raise a clear error listing what is supported.
+This is a deliberate from-scratch parser (the environment has no
+pydicom; the reference used ITK's GDCM).
 """
 from __future__ import annotations
 
@@ -31,7 +34,10 @@ _UNCOMPRESSED = {
 }
 _RLE = "1.2.840.10008.1.2.5"  # RLE Lossless (PackBits segments)
 _JPEG_LL = "1.2.840.10008.1.2.4.70"  # JPEG Lossless SV1 (process 14)
-SUPPORTED_SYNTAXES = sorted(_UNCOMPRESSED | {_RLE, _JPEG_LL})
+_JPEG_LS = "1.2.840.10008.1.2.4.80"  # JPEG-LS Lossless (T.87)
+_JPEG_LS_NEAR = "1.2.840.10008.1.2.4.81"  # JPEG-LS near-lossless
+SUPPORTED_SYNTAXES = sorted(
+    _UNCOMPRESSED | {_RLE, _JPEG_LL, _JPEG_LS, _JPEG_LS_NEAR})
 # VRs with a 2-byte reserved field and 4-byte length in explicit VR
 _LONG_VRS = {b"OB", b"OW", b"OF", b"SQ", b"UT", b"UN"}
 
@@ -232,7 +238,21 @@ def read_dicom_series(paths: List[str]) -> Tuple[Volume, Dict[str, str]]:
                     "is not supported — split into single-frame files"
                 )
             frags = d["PixelDataFragments"]
-            if d.get("_ts", b"").decode() == _JPEG_LL:
+            ts_here = d.get("_ts", b"").decode()
+            if ts_here in (_JPEG_LS, _JPEG_LS_NEAR):
+                # one frame, possibly fragmented (PS3.5 A.4) — join past
+                # the Basic Offset Table fragment
+                frame = b"".join(frags[1:]) if len(frags) > 1 else frags[0]
+                from ife_tpu.io.jpegls import decode_jpegls
+
+                raw = decode_jpegls(frame)[:rows, :cols].reshape(-1)
+                if bits == 8:
+                    arr = raw.astype(np.uint8)
+                    arr = arr.view(np.int8) if signed else arr
+                else:
+                    raw = raw.astype(np.uint16)
+                    arr = raw.view(np.int16) if signed else raw
+            elif ts_here == _JPEG_LL:
                 # single-frame files: fragment 0 is the (possibly empty)
                 # Basic Offset Table; a JPEG frame MAY be split across
                 # several following fragments (PS3.5 A.4) — join them

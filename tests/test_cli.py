@@ -534,6 +534,73 @@ def test_convert_dicom_jpeg_lossless(workdir):
     np.testing.assert_array_equal(data[..., 0], want.T)
 
 
+def _dicom_jpegls_bytes(z, uid=b"1.2.3.12", rows=4, cols=4):
+    # JPEG-LS Lossless (1.2.840.10008.1.2.4.80): encapsulated PixelData
+    # holding one T.87 frame produced by the in-repo encoder
+    from ife_tpu.io.jpegls import encode_jpegls
+
+    def elem(group, el, vr, value: bytes):
+        if len(value) % 2:
+            value += b" "
+        if vr in (b"OB", b"OW", b"SQ", b"UT", b"UN", b"OF"):
+            return struct.pack("<HH2sHI", group, el, vr, 0, len(value)) + value
+        return struct.pack("<HH2sH", group, el, vr, len(value)) + value
+
+    meta = elem(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.4.80")
+    pix = (np.arange(rows * cols, dtype=np.int16) + z * 100)
+    frame = encode_jpegls(
+        pix.view(np.uint16).reshape(rows, cols), precision=16)
+    if len(frame) % 2:
+        frame += b"\x00"
+    encap = (
+        struct.pack("<HHI", 0xFFFE, 0xE000, 0)
+        + struct.pack("<HHI", 0xFFFE, 0xE000, len(frame)) + frame
+        + struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+    )
+    pixel_elem = struct.pack("<HH2sHI", 0x7FE0, 0x0010, b"OB", 0,
+                             0xFFFFFFFF) + encap
+    body = b"".join([
+        elem(0x0008, 0x0020, b"DA", b"20260817"),
+        elem(0x0010, 0x0020, b"LO", b"PAT4"),
+        elem(0x0018, 0x0050, b"DS", b"2.5"),
+        elem(0x0018, 0x1210, b"SH", b"B30f"),
+        elem(0x0020, 0x000E, b"UI", uid),
+        elem(0x0020, 0x0032, b"DS", f"0\\0\\{z * 2.5:g}".encode()),
+        elem(0x0028, 0x0010, b"US", struct.pack("<H", rows)),
+        elem(0x0028, 0x0011, b"US", struct.pack("<H", cols)),
+        elem(0x0028, 0x0030, b"DS", b"0.7\\0.7"),
+        elem(0x0028, 0x0100, b"US", struct.pack("<H", 16)),
+        elem(0x0028, 0x0103, b"US", struct.pack("<H", 1)),
+        elem(0x0028, 0x1052, b"DS", b"-1024"),
+        elem(0x0028, 0x1053, b"DS", b"1"),
+        pixel_elem,
+    ])
+    return b"\x00" * 128 + b"DICM" + meta + body
+
+
+def test_convert_dicom_jpegls(workdir):
+    # JPEG-LS Lossless must decode to the SAME volume as the uncompressed
+    # syntax (the reference reads it through GDCM's CharLS,
+    # ConvertDICOM.cxx:70-84)
+    d = workdir
+    dcm = d / "dicom_jls"
+    os.makedirs(dcm, exist_ok=True)
+    for z in range(3):
+        with open(dcm / f"slice{z}.dcm", "wb") as f:
+            f.write(_dicom_jpegls_bytes(z))
+    _run("convert-dicom", "-d", dcm, "-o", d / "dcm_jls_out")
+    outs = os.listdir(d / "dcm_jls_out")
+    assert outs == ["PAT4_20260817_B30f_2.5.nii.gz"]
+    v = read_volume(str(d / "dcm_jls_out" / outs[0]))
+    assert v.shape == (4, 4, 3)
+    data = np.asarray(v.data)
+    assert data[0, 0, 0] == -1024.0
+    assert data[0, 0, 2] == -1024.0 + 200.0
+    want = (np.arange(16, dtype=np.int16).reshape(4, 4) - 1024).astype(
+        np.float32)
+    np.testing.assert_array_equal(data[..., 0], want.T)
+
+
 def test_unsupported_transfer_syntax_message(workdir):
     from ife_tpu.io.dicom import read_dicom_file
 

@@ -225,6 +225,75 @@ def test_jpegll_rejects_non_lossless_and_multicomponent():
         decode_jpeg_lossless(sof0)
 
 
+def test_jpegls_roundtrip_fuzz():
+    """JPEG-LS (T.87) encode -> decode identity over random images at
+    several precisions/shapes, incl. single-row/column and shapes that
+    exercise the run-mode line-end rules."""
+    from ife_tpu.io.jpegls import decode_jpegls, encode_jpegls
+
+    rng = np.random.default_rng(14)
+    cases = [((7, 5), 12), ((16, 16), 16), ((1, 9), 8), ((9, 1), 10),
+             ((33, 17), 16), ((24, 31), 8)]
+    for shape, precision in cases:
+        img = rng.integers(0, 1 << precision, size=shape).astype(np.uint16)
+        dec = decode_jpegls(encode_jpegls(img, precision=precision))
+        np.testing.assert_array_equal(dec, img), (shape, precision)
+
+
+def test_jpegls_run_mode_and_ct_like():
+    """Flat regions drive the run mode (J-table segments, line-end
+    closure, interruption samples); CT-like int16 stored as uint16 is the
+    DICOM signed-pixel byte convention."""
+    from ife_tpu.io.jpegls import decode_jpegls, encode_jpegls
+
+    rng = np.random.default_rng(15)
+    img = np.zeros((20, 30), np.uint16)
+    img[5:9, 10:20] = 700
+    img[15] = 1
+    img[19, 29] = 4000  # interruption at the very last sample
+    np.testing.assert_array_equal(
+        decode_jpegls(encode_jpegls(img, precision=12)), img)
+    # all-constant image: pure run mode, every line ends inside a run
+    const = np.full((11, 23), 513, np.uint16)
+    np.testing.assert_array_equal(
+        decode_jpegls(encode_jpegls(const, precision=12)), const)
+    yy, xx = np.mgrid[0:24, 0:31]
+    hu = (-600 + 80 * np.sin(xx / 5.0) * np.cos(yy / 7.0)
+          + rng.integers(-20, 20, size=(24, 31))).astype(np.int16)
+    stored = hu.view(np.uint16)
+    dec = decode_jpegls(encode_jpegls(stored, precision=16))
+    np.testing.assert_array_equal(dec.view(np.int16), hu)
+
+
+def test_jpegls_near_lossless_bound():
+    """NEAR > 0 (the ...4.81 DICOM syntax) bounds |decoded - original|
+    by NEAR per sample (T.87 near-lossless guarantee)."""
+    from ife_tpu.io.jpegls import decode_jpegls, encode_jpegls
+
+    rng = np.random.default_rng(16)
+    img = rng.integers(0, 4096, size=(25, 25)).astype(np.uint16)
+    for near in (1, 2, 3):
+        dec = decode_jpegls(encode_jpegls(img, precision=12, near=near))
+        err = np.abs(dec.astype(np.int64) - img.astype(np.int64)).max()
+        assert err <= near, (near, err)
+
+
+def test_jpegls_rejects_non_ls_streams():
+    import struct as _s
+
+    import pytest
+
+    from ife_tpu.io.jpegls import decode_jpegls
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpegls(b"\x00\x01")
+    # an SOF3 (plain JPEG lossless) stream must be rejected clearly
+    sof3 = (_s.pack(">H", 0xFFD8) + _s.pack(">HH", 0xFFC3, 2 + 9)
+            + _s.pack(">BHHB", 8, 4, 4, 1) + bytes([0, 0x11, 0]))
+    with pytest.raises(ValueError, match="SOF55"):
+        decode_jpegls(sof3)
+
+
 def test_jpegll_huffman_table_classes():
     """An AC-class (Tc=1) DHT with the same table id must not clobber the
     DC table the lossless scan uses, and an SOS referencing an undefined
