@@ -889,6 +889,128 @@ def _features8_xs_stream_kernel(n_ref, d_ref, m_ref, o0, o1, o2, o3, o4,
         ref[:] = jnp.where(inside, val, zero)
 
 
+def _banded_dot(W, x2d, radius, precision, B=128):
+    """Band-aware in-kernel contraction out = W @ x2d for a band matrix
+    W (Y, Y) of half-width `radius`: static output blocks of B rows each
+    contract only their (B + 2*radius)-row input window — the MXU flops
+    track the band width, not Y (2.8x at Y=512, r=28). Slicing the same
+    dense W preserves the edge-replication rows exactly (the
+    stencil-module _blocked_band_axis argument, in-kernel)."""
+    Y = x2d.shape[0]
+    dn = (((1,), (0,)), ((), ()))
+    if Y <= B + 2 * radius:
+        return jax.lax.dot_general(
+            W, x2d, dn, precision=precision,
+            preferred_element_type=x2d.dtype)
+    outs = []
+    for t in range(0, Y, B):
+        b1 = min(t + B, Y)
+        lo = max(0, t - radius)
+        hi = min(Y, b1 + radius)
+        outs.append(jax.lax.dot_general(
+            W[t:b1, lo:hi], x2d[lo:hi], dn, precision=precision,
+            preferred_element_type=x2d.dtype))
+    return jnp.concatenate(outs, axis=0)
+
+
+def _features8_ys_multi_kernel(*refs, S, n_x, radii, hx, hy, hz):
+    """Multi-scale streaming ys features8: for each of S scales, the
+    y-axis Gaussian (an IN-KERNEL banded MXU contraction against the
+    scale's band matrix), the no-epsilon normalized-convolution divide,
+    and the gradient/Hessian/eigen/mask chain — ONE pass over the
+    x/z-pre-smoothed numerator/denominator volumes of all scales.
+
+    This is the round-2 "in-kernel MXU smoothing" retried deliberately
+    under the on-chip verify gate (round-4 VERDICT weak-2/next-3): the
+    round-2 failure used persistent cross-step matmul state; here each
+    step's contraction is a pure function of the step's own input block
+    (y is full-extent in the block), and the cross-step state is only
+    the proven post_stream carried x-halo (prev/prev_last per scale,
+    lagged output map, bx=1).
+
+    Why: each scale's post chain shares this kernel's launch + block
+    pipeline, and the y smoothing rides the MXU inside it — per scale
+    the staged path's y-axis MXU passes (2), divide pass, and smoothed
+    volume round trip disappear. At 256^3 (config 3) the per-kernel
+    launch overhead was the measured ceiling (r4_probe17); this runs
+    ALL scales' tails in one launch.
+
+    refs layout: S nums, S dens, mask, S band matrices (Yp, Yp), then
+    8*S outputs and 2*S scratches (prev, prev_last per scale). The mask
+    rides the OUTPUT index map. Semantics per scale: reference
+    NormalizedGaussianConvolutionImageFilter.hxx:40-63 +
+    ImageToEmphysemaFeaturesFilter.hxx:14-55.
+    """
+    n_refs = refs[:S]
+    d_refs = refs[S : 2 * S]
+    m_ref = refs[2 * S]
+    w_refs = refs[2 * S + 1 : 3 * S + 1]
+    o_refs = refs[3 * S + 1 : 3 * S + 1 + 8 * S]
+    prevs = refs[3 * S + 1 + 8 * S : 3 * S + 1 + 9 * S]
+    lasts = refs[3 * S + 1 + 9 * S :]
+    i = pl.program_id(0)
+    dt = n_refs[0].dtype
+    r2x = jnp.asarray(1.0 / (2.0 * hx), dt)
+    r2y = jnp.asarray(1.0 / (2.0 * hy), dt)
+    r2z = jnp.asarray(1.0 / (2.0 * hz), dt)
+    rxx = jnp.asarray(1.0 / (hx * hx), dt)
+    ryy = jnp.asarray(1.0 / (hy * hy), dt)
+    rzz = jnp.asarray(1.0 / (hz * hz), dt)
+    zero = jnp.asarray(0, dt)
+    prec = jax.lax.Precision.HIGHEST
+
+    inside = m_ref[:] != 0
+
+    for s in range(S):
+        W = w_refs[s][:]
+        num2 = _banded_dot(W, n_refs[s][0], radii[s], prec)
+        den2 = _banded_dot(W, d_refs[s][0], radii[s], prec)
+        cur = (num2 / den2)[None]  # (1, Yp, Z): smoothed row i
+
+        @pl.when(i > 0)
+        def _(s=s, cur=cur):
+            s0 = prevs[s][:]          # smoothed row i-1 (emitted now)
+            sm = lasts[s][:]          # row i-2 (or the row -1 clamp)
+            sp = jnp.where(i == n_x, s0, cur)  # row i (or the clamp)
+
+            dxx = (sp - 2 * s0 + sm) * rxx
+            s_yp = _clamp_shift_y(s0, 1)
+            s_ym = _clamp_shift_y(s0, -1)
+            dyy = (s_yp - 2 * s0 + s_ym) * ryy
+            s_zp = _clamp_shift_z(s0, 1)
+            s_zm = _clamp_shift_z(s0, -1)
+            dzz = (s_zp - 2 * s0 + s_zm) * rzz
+            dx = (sp - sm) * r2x
+            dxy = (_clamp_shift_y(dx, 1) - _clamp_shift_y(dx, -1)) * r2y
+            dxz = (_clamp_shift_z(dx, 1) - _clamp_shift_z(dx, -1)) * r2z
+            dy = (s_yp - s_ym) * r2y
+            dyz = (_clamp_shift_z(dy, 1) - _clamp_shift_z(dy, -1)) * r2z
+            dz = (s_zp - s_zm) * r2z
+            gm = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+
+            feats = eigenvalue_feature_channels(
+                dxx, dxy, dxz, dyy, dyz, dzz, use_trig=False,
+                diag_path=False)
+            o_refs[8 * s][:] = jnp.where(inside, s0, zero)
+            o_refs[8 * s + 1][:] = jnp.where(inside, gm, zero)
+            for k, val in enumerate(feats):
+                o_refs[8 * s + 2 + k][:] = jnp.where(inside, val, zero)
+
+        @pl.when(i == 0)
+        def _(s=s, cur=cur):
+            # seed: row -1 := row 0 (ZeroFluxNeumann at the low x face);
+            # the lagged block-0 write is overwritten at step 1
+            lasts[s][:] = cur
+            for k in range(8):
+                o_refs[8 * s + k][:] = jnp.zeros_like(cur)
+
+        @pl.when(i > 0)
+        def _(s=s):
+            lasts[s][:] = prevs[s][:]
+
+        prevs[s][:] = cur
+
+
 def _nc_sweep_kernel(im_ref, mk_ref, o_ref, ring_n, ring_m, *, R,
                      rx, taps_x, taps_y, taps_z):
     """Line-sweep normalized Gaussian convolution: one smoothed row per
@@ -1380,6 +1502,105 @@ def fused_features8_xs_stream(
     if stack:
         return jnp.stack(outs, axis=0)
     return tuple(outs)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sigmas", "spacing", "truncate",
+                              "interpret", "stack")
+)
+def fused_features8_ys_multi(
+    nums,
+    dens,
+    mask: jax.Array,
+    sigmas,
+    spacing: Sequence[float] = (1.0, 1.0, 1.0),
+    truncate: float = 4.5,
+    interpret: bool = False,
+    stack: bool = True,
+):
+    """Multi-scale features8 from x/z-pre-smoothed numerator/denominator
+    volumes: ONE streaming Pallas pass computes, for every scale, the
+    y-axis smoothing (in-kernel banded MXU contraction), the no-epsilon
+    divide, and the masked feature chain (_features8_ys_multi_kernel).
+
+    Args:
+      nums, dens: tuples of S (X, Y, Z) arrays — G_x G_z * (image*mask)
+        and G_x G_z * mask per scale (x and z passes done by the
+        radius-independent XLA band einsums).
+      mask: the CLAMPED {0,1} mask.
+      sigmas: tuple of S scales (static).
+
+    Returns a tuple of S channel-tuples (8 arrays each), or a stacked
+    (S, 8, X, Y, Z) array when stack=True.
+    """
+    nums = tuple(nums)
+    dens = tuple(dens)
+    S = len(nums)
+    if not (S == len(dens) == len(sigmas)):
+        raise ValueError("nums/dens/sigmas must have equal length")
+    hx, hy, hz = (float(v) for v in spacing)
+    X, Y, Zin = nums[0].shape
+    m = mask.astype(nums[0].dtype)
+    Z = Zin if interpret else -(-Zin // 128) * 128
+    Yp = Y if interpret else -(-Y // 8) * 8
+    if (Yp, Z) != (Y, Zin):
+        # edge replicas: the in-kernel y contraction's clamp rows at
+        # Yp-1 read exact replicas of row Y-1, composing to the true
+        # clamp (pad_to_mesh argument); z pads replicate the smoothed
+        # boundary plane, which is what the z stencil clamp wants
+        pads = ((0, 0), (0, Yp - Y), (0, Z - Zin))
+        nums = tuple(jnp.pad(v, pads, mode="edge") for v in nums)
+        dens = tuple(jnp.pad(v, pads, mode="edge") for v in dens)
+        m = jnp.pad(m, pads, mode="edge")
+    n_x = X
+
+    from ife_tpu.ops.stencil import _band_matrix, gaussian_radius
+
+    Ws = []
+    radii = []
+    for s in sigmas:
+        sv = float(s) / hy
+        r = gaussian_radius(sv, float(truncate))
+        radii.append(r)
+        Ws.append(jnp.asarray(_band_matrix(Yp, sv, r), nums[0].dtype))
+
+    kernel = functools.partial(
+        _features8_ys_multi_kernel, S=S, n_x=n_x, radii=tuple(radii),
+        hx=hx, hy=hy, hz=hz,
+    )
+    in_spec = pl.BlockSpec(
+        (1, Yp, Z), lambda i: (jnp.minimum(i, n_x - 1), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (1, Yp, Z), lambda i: (jnp.maximum(i - 1, 0), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    w_spec = pl.BlockSpec(
+        (Yp, Yp), lambda i: (0, 0), memory_space=pltpu.VMEM,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_x + 1,),
+        in_specs=[in_spec] * (2 * S) + [out_spec] + [w_spec] * S,
+        out_specs=[out_spec] * (8 * S),
+        out_shape=[jax.ShapeDtypeStruct((X, Yp, Z), nums[0].dtype)] * (
+            8 * S),
+        scratch_shapes=(
+            [pltpu.VMEM((1, Yp, Z), nums[0].dtype)] * S
+            + [pltpu.VMEM((1, Yp, Z), nums[0].dtype)] * S
+        ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(*nums, *dens, m, *Ws)
+    if (Yp, Z) != (Y, Zin):
+        outs = [o[:, :Y, :Zin] for o in outs]
+    groups = tuple(tuple(outs[8 * s : 8 * s + 8]) for s in range(S))
+    if stack:
+        return jnp.stack([jnp.stack(g, 0) for g in groups], 0)
+    return groups
 
 
 # the xs-stream kernel's two input rings must fit VMEM next to the block

@@ -267,6 +267,46 @@ def features8_auto_channels(image, mask, sigma, spacing=(1.0, 1.0, 1.0),
     return tuple(f[..., k] for k in range(NUM_FEATURES))
 
 
+def multiscale_features8_fused(
+    image: jnp.ndarray,
+    mask: jnp.ndarray,
+    sigmas: Sequence[float],
+    spacing: Sequence[float] = (1.0, 1.0, 1.0),
+    truncate: float = 4.5,
+    interpret: bool = False,
+    stack: bool = True,
+):
+    """All scales' feature passes in ONE Pallas launch: per scale, x and
+    z Gaussians ride the XLA band einsums (radius-independent), then the
+    multi-scale ys kernel computes every scale's y smoothing (in-kernel
+    banded MXU contraction), divide, and masked feature chain in a
+    single streaming pass (kernels.fused.fused_features8_ys_multi).
+
+    This is the fix for the measured config-3 ceiling: at 256^3 each
+    per-scale kernel chain pays launch + pipeline-fill costs that
+    dominate over the traffic floor (r4_probe17 attribution); one launch
+    amortizes them across scales. Returns (S, 8, X, Y, Z) when
+    stack=True, else a tuple of S 8-channel tuples.
+    """
+    from ife_tpu.kernels.fused import fused_features8_ys_multi
+    from ife_tpu.ops.stencil import gaussian_smooth_axis
+
+    m = clamp_mask(mask)
+    mf = m.astype(image.dtype)
+    num0 = image * mf
+
+    def sxz(v, sig):
+        v = gaussian_smooth_axis(v, 0, sig, spacing[0], truncate)
+        return gaussian_smooth_axis(v, 2, sig, spacing[2], truncate)
+
+    nums = tuple(sxz(num0, float(s)) for s in sigmas)
+    dens = tuple(sxz(mf, float(s)) for s in sigmas)
+    return fused_features8_ys_multi(
+        nums, dens, m, tuple(float(s) for s in sigmas), tuple(spacing),
+        truncate, interpret=interpret, stack=stack,
+    )
+
+
 def multiscale_features(
     image: jnp.ndarray,
     mask: jnp.ndarray,

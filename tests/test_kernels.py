@@ -480,6 +480,59 @@ def test_xs_stream_prime_extents_and_blocks():
                                   want, 1e-7)
 
 
+# ---------------------------------------------------------------------------
+# fused_features8_ys_multi (multi-scale: in-kernel banded MXU y smoothing
+# + divide + chain, all scales one pass)
+# ---------------------------------------------------------------------------
+
+
+def _ys_multi(x, mask, sigmas):
+    from ife_tpu.ops.features import multiscale_features8_fused
+
+    out = multiscale_features8_fused(x, mask, sigmas, SPACING,
+                                     interpret=True, stack=True)
+    # (S, 8, X, Y, Z) -> (S, X, Y, Z, 8)
+    return np.moveaxis(np.asarray(out), 1, -1)
+
+
+def test_ys_multi_matches_ops_f64():
+    from ife_tpu.core.volume import sphere_mask
+    from ife_tpu.ops.features import features8
+
+    x = synthetic_ct((16, 16, 16), seed=5, dtype=jnp.float64).data
+    mask = sphere_mask((16, 16, 16), 0.45).data
+    sigmas = (0.9, 1.8)
+    got = _ys_multi(x, mask, sigmas)
+    for si, s in enumerate(sigmas):
+        want = np.asarray(features8(x, mask, s, SPACING))
+        outside = np.asarray(mask) == 0
+        assert np.all(got[si][outside] == 0)
+        _features8_channel_parity(got[si], want, 1e-7)
+
+
+def test_ys_multi_radius_larger_than_volume():
+    # band matrix wider than Y: the dense-dot branch of _banded_dot
+    from ife_tpu.core.volume import sphere_mask
+    from ife_tpu.ops.features import features8
+
+    x = synthetic_ct((16, 16, 16), seed=6, dtype=jnp.float64).data
+    mask = sphere_mask((16, 16, 16), 0.45).data
+    want = np.asarray(features8(x, mask, 2.5, SPACING))
+    _features8_channel_parity(_ys_multi(x, mask, (2.5,))[0], want, 1e-7)
+
+
+def test_ys_multi_prime_extents():
+    from ife_tpu.core.volume import sphere_mask
+    from ife_tpu.ops.features import features8
+
+    x = synthetic_ct((13, 11, 16), seed=7, dtype=jnp.float64).data
+    mask = sphere_mask((13, 11, 16), 0.45).data
+    got = _ys_multi(x, mask, (0.9, 1.4))
+    for si, s in enumerate((0.9, 1.4)):
+        want = np.asarray(features8(x, mask, s, SPACING))
+        _features8_channel_parity(got[si], want, 1e-7)
+
+
 def test_post_stream_matches_windowed_post():
     """The streaming post-smoothing kernel vs the windowed one vs the
     composed op, plain and pre_padded, including prime extents."""
