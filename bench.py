@@ -17,6 +17,7 @@ docs/design.md on fused_features8_full), so the bench the driver runs
 fails loudly if any fused kernel diverges from the XLA-composed ops on
 the real device.
 """
+import functools
 import json
 import os
 import sys
@@ -40,7 +41,7 @@ def _device_kind():
     return d.platform, d.device_kind
 
 
-def _loop_time(fn, x, *rest, inner=32, reps=3):
+def _loop_time(fn, x, *rest, inner=32, reps=3, stats=False):
     """Per-pass device time via the loop-amortized method: `inner` serial
     passes inside ONE jit (each pass consumes the previous output), one
     data-dependent scalar fetched, divided by inner — the only timing
@@ -51,7 +52,12 @@ def _loop_time(fn, x, *rest, inner=32, reps=3):
     by ~30%; inner=32 bounds the bias at ~1 ms.
     `rest` are constant jit PARAMETERS (never close over big device
     arrays — they embed in the compile payload and the tunnel rejects it,
-    HTTP 413)."""
+    HTTP 413).
+
+    stats=True returns (best, median, worst) per-pass seconds across the
+    reps so the artifact carries the tunnel-variance spread (round-4
+    VERDICT weak-6: the README and driver numbers disagreed by ~3%
+    with no recorded spread to reconcile them)."""
     import jax
 
     shape = x.shape
@@ -69,11 +75,16 @@ def _loop_time(fn, x, *rest, inner=32, reps=3):
         t0 = time.perf_counter()
         float(loop(x, *rest))
         ts.append(time.perf_counter() - t0)
-    return min(ts) / inner
+    ts.sort()
+    if stats:
+        return (ts[0] / inner, ts[len(ts) // 2] / inner, ts[-1] / inner)
+    return ts[0] / inner
 
 
-def bench_tpu(shape, inner=32, reps=3, use_fused=True):
-    """Per-pass device time for the full feature-volume materialization."""
+def bench_tpu(shape, inner=32, reps=5, use_fused=True):
+    """(best, median, worst) voxels/sec for the full feature-volume
+    materialization — best-of-N with the spread recorded so the headline
+    is reconcilable against any single driver run."""
     import jax
     import jax.numpy as jnp
     from ife_tpu.kernels.fused import fused_hessian_eig_stream
@@ -95,8 +106,10 @@ def bench_tpu(shape, inner=32, reps=3, use_fused=True):
         def one_pass(v):
             return hessian_eig_features(v, (0.78, 0.78, 1.0))[..., 0]
 
-    dt = _loop_time(one_pass, x, inner=inner, reps=reps)
-    return float(np.prod(shape)) / dt
+    best, med, worst = _loop_time(one_pass, x, inner=inner, reps=reps,
+                                  stats=True)
+    n = float(np.prod(shape))
+    return n / best, n / med, n / worst
 
 
 def cpu_baseline_voxels_per_sec():
@@ -267,6 +280,103 @@ def verify_on_chip(shape=(128, 128, 128), spacing=(0.78, 0.78, 1.0)):
         return out
 
     report = {k: float(v) for k, v in errs(img, msk).items()}
+
+    # ---- the DISPATCH entry points end to end (round-4 VERDICT weak-4:
+    # the gate must verify what features8_auto actually dispatches, keyed
+    # by branch so it cannot drift from the dispatch table) ----
+    from ife_tpu.ops.features import (
+        features8_auto_channels, features8_dispatch_branch,
+        multiscale_features8_fused,
+    )
+
+    @functools.partial(jax.jit, static_argnames=("sigma",))
+    def auto_errs(v, m, *, sigma):
+        a = jnp.stack(
+            features8_auto_channels(v, m, sigma, spacing), axis=-1)
+        b = features8(v, m, sigma, spacing)
+        scale = jnp.maximum(jnp.abs(b).reshape(-1, 8).max(axis=0), 1.0)
+        d = jnp.abs(a - b).reshape(-1, 8).max(axis=0) / scale
+        eig = jnp.abs(jnp.sort(a[..., 2:5], -1)
+                      - jnp.sort(b[..., 2:5], -1)).max() / \
+            jnp.maximum(jnp.abs(b[..., 2:5]).max(), 1.0)
+        return jnp.maximum(jnp.max(d[jnp.array([0, 1, 5, 6, 7])]), eig)
+
+    branches = {}
+    for sig in (1.0, 2.4, 4.8):
+        br = features8_dispatch_branch(sig, spacing, shape)
+        branches[sig] = br
+        report[f"auto_s{sig}[{br}]"] = float(
+            auto_errs(img, msk, sigma=sig))
+    # the three gate sigmas must straddle the crossovers: if a dispatch
+    # change collapses them onto fewer branches, the gate fails loudly
+    # instead of silently narrowing its coverage
+    assert len(set(branches.values())) >= 3, branches
+
+    # the one-launch multi-scale ys path (config 3 / in-kernel MXU
+    # smoothing): both scales vs the XLA-composed op
+    @jax.jit
+    def ys_errs(v, m):
+        g = multiscale_features8_fused(v, m, (2.4, 4.8), spacing,
+                                       stack=True)
+        errs = []
+        for si, s in enumerate((2.4, 4.8)):
+            b = features8(v, m, s, spacing)
+            a = jnp.moveaxis(g[si], 0, -1)
+            scale = jnp.maximum(jnp.abs(b).reshape(-1, 8).max(axis=0), 1.0)
+            d = jnp.abs(a - b).reshape(-1, 8).max(axis=0) / scale
+            eig = jnp.abs(jnp.sort(a[..., 2:5], -1)
+                          - jnp.sort(b[..., 2:5], -1)).max() / \
+                jnp.maximum(jnp.abs(b[..., 2:5]).max(), 1.0)
+            errs.append(jnp.maximum(
+                jnp.max(d[jnp.array([0, 1, 5, 6, 7])]), eig))
+        return jnp.stack(errs)
+
+    ys = ys_errs(img, msk)
+    report["ys_multi_s2.4[in-kernel-mxu]"] = float(ys[0])
+    report["ys_multi_s4.8[in-kernel-mxu]"] = float(ys[1])
+
+    # the SHARDED per-shard paths through sharded_features8 itself (a
+    # 1-device mesh runs the real shard_map block: halo exchange, the
+    # per-shard sweep kernel, and the x_halo post_stream variant)
+    from jax.sharding import Mesh
+    from ife_tpu.parallel.features import sharded_features8
+
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("x",))
+
+    @functools.partial(jax.jit, static_argnames=("sigma",))
+    def shard_cmp(a_t, v, m, *, sigma):
+        a = jnp.stack(a_t, axis=-1)
+        b = features8(v, m, sigma, spacing)
+        scale = jnp.maximum(jnp.abs(b).reshape(-1, 8).max(axis=0), 1.0)
+        d = jnp.abs(a - b).reshape(-1, 8).max(axis=0) / scale
+        eig = jnp.abs(jnp.sort(a[..., 2:5], -1)
+                      - jnp.sort(b[..., 2:5], -1)).max() / \
+            jnp.maximum(jnp.abs(b[..., 2:5]).max(), 1.0)
+        return jnp.maximum(jnp.max(d[jnp.array([0, 1, 5, 6, 7])]), eig)
+
+    for sig in (1.0, 2.4):
+        sh = sharded_features8(img, msk, sig, mesh1, spacing, stack=False)
+        br = ("sharded_block_sweep" if sig == 1.0
+              else "sharded_staged_x_halo")
+        report[f"sharded_s{sig}[{br}]"] = float(
+            shard_cmp(sh, img, msk, sigma=sig))
+
+    # the arithmetic/MXU fine histogram vs the compare-reduce kernel on
+    # the SAME snapped grid: integer equality on chip
+    from ife_tpu.stats.histogram import (
+        snap_pow2_grid, uniform_histogram_counts,
+    )
+
+    mfh, kfh, bounds = snap_pow2_grid(-1100.0, 500.0, 4096)
+    w01 = (msk != 0).astype(jnp.int32).ravel()
+    a = uniform_histogram_counts(
+        img, w01, jnp.float32(mfh), jnp.float32(np.ldexp(1.0, kfh)), 4096)
+    raw = histogram_counts_pallas(
+        img.ravel(), jnp.asarray(bounds, jnp.float32), w01)
+    b = raw[1:4097].at[0].add(raw[0])
+    report["fine_hist_mxu_max_abs_count_err"] = float(
+        jnp.abs(a - b).max())
+
     for k, v in report.items():
         assert v < 1e-4, (k, v, report)
     return report
@@ -482,20 +592,26 @@ def main():
     platform, kind = _device_kind()
     shape = (512, 512, 512) if platform == "tpu" else (128, 128, 128)
     try:
-        vox_s = bench_tpu(shape)
+        stats = bench_tpu(shape)
     except Exception:
         try:  # fused kernel unavailable -> XLA-composed path
-            vox_s = bench_tpu(shape, use_fused=False)
+            stats = bench_tpu(shape, use_fused=False)
         except Exception:  # OOM headroom fallback
             shape = (384, 384, 384)
-            vox_s = bench_tpu(shape, use_fused=False)
+            stats = bench_tpu(shape, use_fused=False)
+    vox_best, vox_med, vox_worst = stats
     cpu_vox_s, baseline_kind = cpu_baseline_voxels_per_sec()
     result = {
         "metric": f"hessian_eig_voxels_per_sec_chip_{shape[0]}cubed_{kind.replace(' ', '_')}",
-        "value": round(vox_s, 1),
+        # the MEDIAN is the headline (reproducible under tunnel
+        # variance); best/worst record the spread so README, design.md
+        # and any driver-captured BENCH_r*.json can be reconciled
+        "value": round(vox_med, 1),
         "unit": "voxels/sec/chip",
-        "vs_baseline": round(vox_s / cpu_vox_s, 2),
+        "vs_baseline": round(vox_med / cpu_vox_s, 2),
         "baseline": baseline_kind,
+        "spread": {"best": round(vox_best, 1), "worst": round(vox_worst, 1),
+                   "reps": 5},
     }
     # on-chip parity gate: a Mosaic lowering regression fails the bench
     # instead of silently shipping (docs/design.md, full-fusion post-mortem)

@@ -1609,13 +1609,22 @@ def fused_features8_ys_multi(
 _XS_RING_BUDGET = 44 * 1024 * 1024
 
 
+# the xs kernel's x-tap ring reads grow linearly with the radius while
+# the fully-staged path is radius-flat; measured crossover (r5_probe18,
+# 256^3): xs wins at rx=14 (4.23 vs 4.97 ms), loses at rx=28 (5.30 vs
+# 5.12) — linear interpolation puts break-even near rx ~ 25; cap at 20
+# to keep only clear wins on the xs side
+_XS_RX_MAX = 20
+
+
 def _xs_stream_fits(sigma, spacing, shape, truncate=4.5):
     import math
 
     rx = max(1, math.ceil(truncate * float(sigma) / float(spacing[0])))
     Yp = -(-shape[1] // 8) * 8
     Z = -(-shape[2] // 128) * 128
-    return 2 * (2 * rx + 4) * Yp * Z * 4 <= _XS_RING_BUDGET
+    return (rx <= _XS_RX_MAX
+            and 2 * (2 * rx + 4) * Yp * Z * 4 <= _XS_RING_BUDGET)
 
 
 @functools.partial(

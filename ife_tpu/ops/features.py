@@ -267,6 +267,31 @@ def features8_auto_channels(image, mask, sigma, spacing=(1.0, 1.0, 1.0),
     return tuple(f[..., k] for k in range(NUM_FEATURES))
 
 
+def features8_dispatch_branch(sigma, spacing, shape, truncate=4.5) -> str:
+    """The kernel branch features8_auto_channels would take on TPU for
+    this (sigma, spacing, shape) — the single source of truth the
+    verify gate keys its entries by, so the gate cannot drift from the
+    dispatch table (round-4 VERDICT weak-4: the gate verified a sweep
+    config the dispatcher never sent).
+
+    Returns one of: "sweep" (fused_features8_sweep end to end),
+    "nc_sweep+post_stream", "xs_stream" (y/z einsums +
+    fused_features8_xs_stream), "einsum+post_stream" (the fully staged
+    path).
+    """
+    from ife_tpu.kernels.fused import _xs_stream_fits
+
+    if (_sweep_fits(sigma, spacing, shape, truncate)
+            and _sweep_rx_ok(sigma, spacing, truncate)):
+        return "sweep"
+    if (_nc_sweep_fits(sigma, spacing, shape, truncate)
+            and _sweep_rx_ok(sigma, spacing, truncate)):
+        return "nc_sweep+post_stream"
+    if _xs_stream_fits(sigma, spacing, shape, truncate):
+        return "xs_stream"
+    return "einsum+post_stream"
+
+
 def multiscale_features8_fused(
     image: jnp.ndarray,
     mask: jnp.ndarray,
