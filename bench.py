@@ -476,8 +476,32 @@ def bench_all(out_path="BENCH_DETAIL.json", resume=False):
             return jnp.stack(outs, 0).sum(0)
 
         dt = _loop_time(multi, x256, m256, inner=12)
+        vox4 = float(np.prod(shape3)) * len(scales)
+        detail["config3_per_scale_voxels_per_sec"] = round(vox4 / dt, 1)
+        best = dt
+        if on_tpu:
+            # the one-launch multi-scale composition: sweeps for the two
+            # small scales + the ys kernel (in-kernel banded MXU y
+            # smoothing) for the two large ones — the round-5 fix for the
+            # per-kernel launch costs r4_probe17 attributed config 3's
+            # ceiling to
+            from ife_tpu.ops.features import multiscale_features8_fused
+            from ife_tpu.kernels.fused import fused_features8_sweep
+
+            def multi_fused(v, m):
+                outs = [fused_features8_sweep(v, m, s, spc,
+                                              stack=False)[0]
+                        for s in (0.6, 1.2)]
+                g = multiscale_features8_fused(v, m, (2.4, 4.8), spc,
+                                               stack=False)
+                outs += [g[0][0], g[1][0]]
+                return jnp.stack(outs, 0).sum(0)
+
+            dtf = _loop_time(multi_fused, x256, m256, inner=12)
+            detail["config3_fused_voxels_per_sec"] = round(vox4 / dtf, 1)
+            best = min(best, dtf)
         detail["config3_multiscale4_features8_voxels_per_sec"] = round(
-            float(np.prod(shape3)) * len(scales) / dt, 1)
+            vox4 / best, 1)
         detail["config3_shape"] = list(shape3)
         print("config3 done:", detail, file=sys.stderr, flush=True)
         _dump(detail, out_path)

@@ -957,7 +957,7 @@ def _features8_ys_multi_kernel(*refs, S, n_x, radii, hx, hy, hz):
     ryy = jnp.asarray(1.0 / (hy * hy), dt)
     rzz = jnp.asarray(1.0 / (hz * hz), dt)
     zero = jnp.asarray(0, dt)
-    prec = jax.lax.Precision.HIGHEST
+    from ife_tpu.ops.stencil import MATMUL_PRECISION as prec
 
     inside = m_ref[:] != 0
 

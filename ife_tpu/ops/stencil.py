@@ -39,6 +39,14 @@ import jax.numpy as jnp
 
 Axis = int  # 0=x, 1=y, 2=z (ITK direction order)
 
+# MXU precision for the Gaussian band contractions. HIGHEST (6-pass f32
+# decomposition) was the conservative round-1 choice; the 3-pass HIGH
+# halves MXU work at ~1e-6 relative error — far inside the 1e-4 on-chip
+# verify budget (r5_probe20 measures both). Module-level so probes can
+# flip it (with jax.clear_caches()); the product default is set from the
+# measured accuracy/speed trade.
+MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+
 
 def _edge_pad(x: jnp.ndarray, axis: Axis, lo: int, hi: int) -> jnp.ndarray:
     """ZeroFluxNeumann = replicate the boundary voxel."""
@@ -178,7 +186,7 @@ def _einsum_axis(W: jnp.ndarray, x: jnp.ndarray, axis: int) -> jnp.ndarray:
     out_sub = in_sub.replace(in_sub[axis], "o")
     return jnp.einsum(
         f"o{in_sub[axis]},{in_sub}->{out_sub}", W, x,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=MATMUL_PRECISION,
     )
 
 
@@ -225,7 +233,7 @@ def _conv1d_valid(x_last: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
     out = jax.lax.conv_general_dilated(
         lhs, rhs, window_strides=(1,), padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=MATMUL_PRECISION,
         preferred_element_type=x_last.dtype,
     )
     return out.reshape(lead + (out.shape[-1],))
