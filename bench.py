@@ -367,6 +367,8 @@ def verify_on_chip(shape=(128, 128, 128), spacing=(0.78, 0.78, 1.0)):
         snap_pow2_grid, uniform_histogram_counts,
     )
 
+    from ife_tpu.kernels.histogram import histogram_counts_pallas
+
     mfh, kfh, bounds = snap_pow2_grid(-1100.0, 500.0, 4096)
     w01 = (msk != 0).astype(jnp.int32).ravel()
     a = uniform_histogram_counts(

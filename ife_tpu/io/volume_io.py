@@ -1,7 +1,8 @@
 """Format-dispatching volume read/write.
 
 NIfTI (.nii/.nii.gz) is the workhorse (every reference tool), HR2 and
-Octave cover the conversion tools, DICOM is gated on pydicom availability.
+Octave cover the conversion tools; DICOM series go through the
+from-scratch parser in ife_tpu.io.dicom (convert-dicom CLI).
 """
 from __future__ import annotations
 

@@ -11,6 +11,8 @@ from ife_tpu.kernels.fused import (  # noqa: F401
     fused_features8,
     fused_features8_post_stream,
     fused_features8_sweep,
+    fused_features8_xs_stream,
+    fused_features8_ys_multi,
     fused_hessian_eig,
     fused_hessian_eig_stream,
     fused_normalized_conv_sweep,

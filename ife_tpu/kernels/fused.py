@@ -637,9 +637,10 @@ def _features8_tap_kernel(n_hbm, c_hbm, o0, o1, o2, o3, o4, o5, o6,
         ref[:] = jnp.where(inside, val, zero)
 
 
-def _features8_sweep_kernel(im_ref, mk_ref, o0, o1, o2, o3, o4, o5, o6, o7,
-                            ring_n, ring_m, s_carry, *, R, n_blocks, bx, L,
-                            rx, taps_x, taps_y, taps_z, hx, hy, hz, x_true):
+def _features8_sweep_kernel(clamp_ref, im_ref, mk_ref, o0, o1, o2, o3, o4,
+                            o5, o6, o7, ring_n, ring_m, s_carry, *, R,
+                            n_blocks, bx, L, rx, taps_x, taps_y, taps_z,
+                            hx, hy, hz):
     """Line-sweep features8: bx rows of all 8 channels per grid step.
 
     Streaming structure (the tap kernel without windows): input rows live
@@ -658,9 +659,21 @@ def _features8_sweep_kernel(im_ref, mk_ref, o0, o1, o2, o3, o4, o5, o6, o7,
     Seeding: at step 0 every ring row is filled with row 0, which is
     exactly the clamp value every negative row position would hold; the
     ring is large enough that a seeded slot is only overwritten after its
-    last phantom read. The stencil's phantom rows s(-1)/s(X) are
-    re-clamped by global-row-index selects (the smoothed-at-phantom value
-    is not the ZeroFluxNeumann neighbor).
+    last phantom read.
+
+    clamp_ref (SMEM, (4,) int32: x_lo, x_hi, y_lo, y_hi): the TRUE-face
+    rows/columns where the STENCIL's ZeroFluxNeumann phantom must clamp
+    to the smoothed field itself (the smoothed-at-phantom value is NOT
+    the clamp neighbor). For a whole volume these are simply
+    (0, X-1, 0, Y-1); for a halo-extended shard they are the kept core's
+    faces on true-volume sides and +-2^30 sentinels on interior shard
+    boundaries, where the halo rows carry REAL neighbor data the stencil
+    should consume. DYNAMIC (per-shard axis_index) on purpose — the
+    round-5 verify gate caught the static version computing
+    smooth(replicated-raw) instead of the clamp at true faces of
+    sharded runs (35-50% error on derivative channels in the two
+    outermost layers; r5_probe22, regression test
+    test_sweep_halo_extended_clamps).
 
     Semantics: reference ImageToEmphysemaFeaturesFilter.hxx:14-55 +
     NormalizedGaussianConvolutionImageFilter.hxx:40-63 end to end.
@@ -735,10 +748,24 @@ def _features8_sweep_kernel(im_ref, mk_ref, o0, o1, o2, o3, o4, o5, o6, o7,
     sm = s[:-2]
     s0 = s[1:-1]
     sp = s[2:]
-    # stencil phantom-row clamp at the true x faces (see docstring)
+    # stencil phantom clamp at the TRUE faces (see docstring): dynamic
+    # rows/columns from clamp_ref so halo-extended shard blocks clamp at
+    # the kept core's true faces, not the extension's
+    x_lo = clamp_ref[0]
+    x_hi = clamp_ref[1]
+    y_lo = clamp_ref[2]
+    y_hi = clamp_ref[3]
     grow = jax.lax.broadcasted_iota(jnp.int32, s0.shape, 0) + k * bx
-    sm = jnp.where(grow <= 0, s0, sm)
-    sp = jnp.where(grow >= x_true - 1, s0, sp)
+    sm = jnp.where(grow <= x_lo, s0, sm)
+    sp = jnp.where(grow >= x_hi, s0, sp)
+    col = jax.lax.broadcasted_iota(jnp.int32, s0.shape, 1)
+
+    def yshift(a, off):
+        # y shift whose phantom clamps at the dynamic true-face columns
+        raw = _clamp_shift_y(a, off)
+        if off == 1:
+            return jnp.where(col >= y_hi, a, raw)
+        return jnp.where(col <= y_lo, a, raw)
 
     r2x = jnp.asarray(1.0 / (2.0 * hx), dt)
     r2y = jnp.asarray(1.0 / (2.0 * hy), dt)
@@ -748,14 +775,14 @@ def _features8_sweep_kernel(im_ref, mk_ref, o0, o1, o2, o3, o4, o5, o6, o7,
     rzz = jnp.asarray(1.0 / (hz * hz), dt)
 
     dxx = (sp - 2 * s0 + sm) * rxx
-    s_yp = _clamp_shift_y(s0, 1)
-    s_ym = _clamp_shift_y(s0, -1)
+    s_yp = yshift(s0, 1)
+    s_ym = yshift(s0, -1)
     dyy = (s_yp - 2 * s0 + s_ym) * ryy
     s_zp = _clamp_shift_z(s0, 1)
     s_zm = _clamp_shift_z(s0, -1)
     dzz = (s_zp - 2 * s0 + s_zm) * rzz
     dx = (sp - sm) * r2x
-    dxy = (_clamp_shift_y(dx, 1) - _clamp_shift_y(dx, -1)) * r2y
+    dxy = (yshift(dx, 1) - yshift(dx, -1)) * r2y
     dxz = (_clamp_shift_z(dx, 1) - _clamp_shift_z(dx, -1)) * r2z
     dy = (s_yp - s_ym) * r2y
     dyz = (_clamp_shift_z(dy, 1) - _clamp_shift_z(dy, -1)) * r2z
@@ -1904,6 +1931,7 @@ def fused_features8_sweep(
     block: int = 1,
     interpret: bool = False,
     stack: bool = True,
+    clamps: jax.Array | None = None,
 ):
     """Line-sweep features8: the ENTIRE pipeline (separable FIR smoothing,
     normalized-convolution divide, gradient/Hessian/eigen, masking) as one
@@ -1950,10 +1978,15 @@ def fused_features8_sweep(
     # span so a seeded/old row is never overwritten before its last read
     R = (-(-(2 * rx + 2) // bx) + 2) * bx
 
+    if clamps is None:
+        # a whole volume: the true faces ARE the array faces
+        clamps = jnp.asarray([0, X - 1, 0, Y - 1], jnp.int32)
+    else:
+        clamps = jnp.asarray(clamps, jnp.int32)
+
     kernel = functools.partial(
         _features8_sweep_kernel, R=R, n_blocks=n_blocks, bx=bx, L=L, rx=rx,
         taps_x=taps_x, taps_y=taps_y, taps_z=taps_z, hx=hx, hy=hy, hz=hz,
-        x_true=X,
     )
     in_spec = pl.BlockSpec(
         (bx, Yp, Z), lambda i: (jnp.minimum(i, n_blocks - 1), 0, 0),
@@ -1966,7 +1999,7 @@ def fused_features8_sweep(
     outs = pl.pallas_call(
         kernel,
         grid=(n_blocks + L,),
-        in_specs=[in_spec, in_spec],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), in_spec, in_spec],
         out_specs=[out_spec] * 8,
         out_shape=[jax.ShapeDtypeStruct((Xp, Yp, Z), image.dtype)] * 8,
         scratch_shapes=[
@@ -1978,7 +2011,7 @@ def fused_features8_sweep(
             vmem_limit_bytes=_VMEM_LIMIT
         ),
         interpret=interpret,
-    )(image, m)
+    )(clamps, image, m)
     if (Xp, Yp, Z) != (X, Y, Zin):
         outs = [o[:X, :Y, :Zin] for o in outs]
     if stack:

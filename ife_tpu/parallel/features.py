@@ -242,15 +242,22 @@ def _features8_block_sweep(
     truncate: float,
     sharded_axes: Dict[int, str],
     radii: Tuple[int, int],
+    axis_sizes: Dict[int, int],
 ) -> Tuple[jnp.ndarray, ...]:
     """features8 of a shard via the full line-sweep kernel: exchange a
     (smoothing radius + 1)-deep halo on the sharded axes, run
-    fused_features8_sweep on the extended block AS IF it were a whole
-    volume, and keep the core. Outputs in the kept region never touch a
-    kernel-clamped phantom (taps reach at most radius into the halo, the
-    stencil one more row — exactly the exchanged depth), and at true
-    volume faces the halo_exchange edge replication IS the clamp value,
-    so the kernel's own edge handling composes exactly."""
+    fused_features8_sweep on the extended block, keep the core.
+
+    SMOOTHING composes exactly through the halo (real neighbor data
+    interior; edge replication at true faces IS clamp smoothing). The
+    STENCIL does not: at a true volume face its phantom must clamp to
+    the SMOOTHED field (s(-1) := s(0)), which is NOT the smoothing of
+    the replicated raw rows the halo holds there — the round-5 verify
+    gate measured 35-50% error on the derivative channels in the
+    outermost layers before this was fixed (r5_probe22). The kernel
+    therefore takes DYNAMIC clamp rows: the kept core's faces on
+    true-volume sides (axis_index 0 / n-1), +-2^30 sentinels on interior
+    shard boundaries where the halo data is real."""
     from ife_tpu.kernels.fused import fused_features8_sweep
 
     core = img.shape
@@ -261,8 +268,21 @@ def _features8_block_sweep(
             img = halo_exchange(img, axis, r, sharded_axes[axis])
             msk = halo_exchange(msk, axis, r, sharded_axes[axis])
             lo[axis] = r
+    big = jnp.int32(1 << 30)
+    cl = []
+    for axis in (0, 1):
+        if axis in sharded_axes:
+            idx = jax.lax.axis_index(sharded_axes[axis])
+            n_sh = axis_sizes[axis]
+            cl.append(jnp.where(idx == 0, jnp.int32(lo[axis]), -big))
+            cl.append(jnp.where(idx == n_sh - 1,
+                                jnp.int32(lo[axis] + core[axis] - 1), big))
+        else:
+            cl.append(jnp.int32(0))
+            cl.append(jnp.int32(core[axis] - 1))
     out = fused_features8_sweep(
-        img, msk, float(sigma), tuple(spacing), float(truncate), stack=False
+        img, msk, float(sigma), tuple(spacing), float(truncate),
+        stack=False, clamps=jnp.stack(cl),
     )
     return tuple(
         o[lo[0]:lo[0] + core[0], lo[1]:lo[1] + core[1], :] for o in out
@@ -304,10 +324,11 @@ def _features8_fn(mesh: Mesh, shape, sigma: float, spacing, truncate: float,
     else:
         fits = False
     if fused and fits:
+        sizes = {i: int(n) for i, n in enumerate(mesh.devices.shape)}
         block = functools.partial(
             _features8_block_sweep,
             sigma=sigma, spacing=spacing, truncate=truncate,
-            sharded_axes=saxes, radii=radii,
+            sharded_axes=saxes, radii=radii, axis_sizes=sizes,
         )
     else:
         block = functools.partial(

@@ -272,18 +272,18 @@ def uniform_histogram_counts(
         ohc = ((c[:, None] == iota_c) & (ww[:, None] != 0)).astype(
             jnp.bfloat16)
         ohf = (f[:, None] == iota_f).astype(jnp.bfloat16)
-        # PACKED Gram accumulation: two separate (chunk, 64) dots each
-        # occupy one 64x64 quadrant of the 128x128 MXU tile (25%
-        # utilization); packing [ohc*w | ohf] into one (chunk, G+64)
-        # operand puts the weighted joint counts in A^T A's off-diagonal
-        # block at full tile utilization — one matmul, half the hardware
-        # passes (w in {0,1} so w^2 = w; products stay exact in bf16)
-        A = jnp.concatenate([ohc, ohf], axis=1)
-        gram = jax.lax.dot_general(
-            A, A, (((0,), (0,)), ((), ())),
+        # two (chunk, 64) one-hot operands meeting in one dot. A packed
+        # A^T-A Gram form ([ohc*w | ohf] as one (chunk, 128) operand,
+        # counts in the off-diagonal block) was built on the full-MXU-
+        # tile-utilization theory and measured 3.5x SLOWER on chip
+        # (130.0 vs 36.7 ms at 512^3, r5_probe21 vs r5_probe18): the
+        # concatenate materializes an extra operand stream and the
+        # self-contraction defeats XLA's fusion of the compare into the
+        # dot — the two-dot form stands.
+        return jax.lax.dot_general(
+            ohc, ohf, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-        return gram[:G, G:]  # (G, 64) exact integer-valued f32
+        )  # (G, 64) exact integer-valued f32
 
     chunk = 1 << 19
     n = v.shape[0]

@@ -533,6 +533,54 @@ def test_ys_multi_prime_extents():
         _features8_channel_parity(got[si], want, 1e-7)
 
 
+def test_sweep_halo_extended_clamps():
+    """The sharded block-sweep composition: a halo-extended block (edge
+    replication at true faces, as halo_exchange produces on a boundary
+    shard) swept with DYNAMIC true-face clamp rows must match the
+    single-device op on the kept core. Without the clamps the stencil
+    reads smooth(replicated-raw) at the true-face phantoms — 35-50%
+    error on the derivative channels in the outermost layers (the
+    round-5 on-chip verify gate caught it; r5_probe22)."""
+    import math
+
+    import jax.numpy as jnp
+
+    from ife_tpu.core.volume import sphere_mask
+    from ife_tpu.kernels.fused import fused_features8_sweep
+    from ife_tpu.ops.features import features8
+
+    shape = (20, 18, 16)
+    x = synthetic_ct(shape, seed=9, dtype=jnp.float64).data
+    mask = sphere_mask(shape, 0.45).data.astype(jnp.float64)
+    sigma = 1.0
+    rx = max(1, math.ceil(4.5 * sigma / SPACING[0]))
+    ry = max(1, math.ceil(4.5 * sigma / SPACING[1]))
+    want = np.asarray(features8(x, mask, sigma, SPACING))
+
+    # x-extended (1D-sharded boundary shard on both sides)
+    r = rx + 1
+    xe = jnp.pad(x, ((r, r), (0, 0), (0, 0)), mode="edge")
+    me = jnp.pad(mask, ((r, r), (0, 0), (0, 0)), mode="edge")
+    out = fused_features8_sweep(
+        xe, me, sigma, SPACING, stack=False, interpret=True,
+        clamps=jnp.asarray([r, r + shape[0] - 1, 0, shape[1] - 1],
+                           jnp.int32))
+    got = np.stack([np.asarray(o[r:r + shape[0]]) for o in out], -1)
+    _features8_channel_parity(got, want, 1e-7)
+
+    # x+y-extended (2D-mesh corner shard)
+    q = ry + 1
+    xe2 = jnp.pad(x, ((r, r), (q, q), (0, 0)), mode="edge")
+    me2 = jnp.pad(mask, ((r, r), (q, q), (0, 0)), mode="edge")
+    out2 = fused_features8_sweep(
+        xe2, me2, sigma, SPACING, stack=False, interpret=True,
+        clamps=jnp.asarray([r, r + shape[0] - 1, q, q + shape[1] - 1],
+                           jnp.int32))
+    got2 = np.stack(
+        [np.asarray(o[r:r + shape[0], q:q + shape[1]]) for o in out2], -1)
+    _features8_channel_parity(got2, want, 1e-7)
+
+
 def test_post_stream_matches_windowed_post():
     """The streaming post-smoothing kernel vs the windowed one vs the
     composed op, plain and pre_padded, including prime extents."""
