@@ -408,6 +408,20 @@ def conf_determine_bin_edges(p):
     _add_distributed_flags(p)
 
 
+def _foreground_mask(arr: np.ndarray, labels) -> np.ndarray:
+    """Membership of arr values in the (small) foreground label list.
+
+    np.isin's sort-based path measured 7.4 s on a 512^3 volume in the
+    bin-edges CLI (r5_probe22 stage attribution); a per-label equality
+    OR is O(k) fast vectorized passes (~0.1 s for typical 1-3 labels).
+    """
+    labels = list(labels)
+    fg = np.zeros(np.shape(arr), bool)
+    for v in labels:
+        fg |= (arr == v)
+    return fg
+
+
 def _run_determine_bin_edges_sharded(args):
     """Scalable bin-edge path (SURVEY.md §7 hard-part 4): per image, per
     (scale, feature), an on-mesh fine histogram (min/max psum + dense-count
@@ -447,7 +461,7 @@ def _run_determine_bin_edges_sharded(args):
         _progress(f"Processing {img_path} / {mask_path}")
         vol = _load(img_path)
         mask = _load(mask_path)
-        fg = np.isin(np.asarray(mask.data), np.asarray(args.foreground))
+        fg = _foreground_mask(np.asarray(mask.data), args.foreground)
         hists = sharded_feature_fine_histograms(
             np.asarray(vol.data), fg.astype(np.uint8), args.scales, mesh,
             vol.spacing, n_fine=args.fine_bins,
@@ -492,7 +506,7 @@ def run_determine_bin_edges(args):
         vol = _load(img_path)
         mask = _load(mask_path)
         mask_np = np.asarray(mask.data)
-        fg = np.isin(mask_np, np.asarray(args.foreground))
+        fg = _foreground_mask(mask_np, args.foreground)
         img = jnp.asarray(vol.data, jnp.float32)
         msk = jnp.asarray(fg.astype(np.uint8))
         for i, s in enumerate(args.scales):
