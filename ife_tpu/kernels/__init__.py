@@ -11,6 +11,7 @@ from ife_tpu.kernels.fused import (  # noqa: F401
     fused_features8,
     fused_features8_post_stream,
     fused_features8_sweep,
+    fused_features8_sweep_multi,
     fused_features8_xs_stream,
     fused_features8_ys_multi,
     fused_hessian_eig,

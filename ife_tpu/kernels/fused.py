@@ -1038,6 +1038,149 @@ def _features8_ys_multi_kernel(*refs, S, n_x, radii, hx, hy, hz):
         prevs[s][:] = cur
 
 
+def _features8_sweep_multi_kernel(clamp_ref, im_ref, mk_ref, *refs, R,
+                                  n_blocks, bx, L, rx_list, taps_lists,
+                                  hx, hy, hz):
+    """S-scale line-sweep features8 sharing ONE pair of input rings: the
+    raw image/mask rows are identical for every scale, so S scales read
+    them once (the per-scale sweeps each paid their own full input read
+    AND kernel launch — at 256^3 the launch overhead is the measured
+    config-3 ceiling, r4_probe17). Per grid step, each scale completes
+    its own smoothing of the emitted rows from the shared rings (its own
+    tap radii), carries its own (bx+2)-row smoothed window, and emits
+    its 8 channels; all scales share the lag L = ceil((rx_max+1)/bx)
+    and the ring size of the LARGEST radius, which retains every row a
+    smaller radius needs by construction. Structure, seeding, clamp
+    semantics: identical to _features8_sweep_kernel per scale.
+
+    refs layout: 8*S outputs, then ring_n, ring_m, then S s_carry
+    scratches."""
+    S = len(rx_list)
+    o_refs = refs[: 8 * S]
+    ring_n = refs[8 * S]
+    ring_m = refs[8 * S + 1]
+    carries = refs[8 * S + 2 :]
+    i = pl.program_id(0)
+    dt = im_ref.dtype
+
+    mkcur = jnp.clip(mk_ref[:], 0, 1)
+    numcur = im_ref[:] * mkcur
+    tail = i >= n_blocks
+    app_n = jnp.where(tail, jnp.broadcast_to(numcur[-1:], numcur.shape),
+                      numcur)
+    app_m = jnp.where(tail, jnp.broadcast_to(mkcur[-1:], mkcur.shape),
+                      mkcur)
+
+    @pl.when(i == 0)
+    def _():
+        for r in range(R):
+            ring_n[pl.ds(r, 1)] = numcur[0:1]
+            ring_m[pl.ds(r, 1)] = mkcur[0:1]
+
+    base = jax.lax.rem(jnp.int32(i) * bx, jnp.int32(R))
+    ring_n[pl.ds(base, bx)] = app_n
+    ring_m[pl.ds(base, bx)] = app_m
+
+    k = i - L
+
+    def read(ring, r):
+        rr = jnp.int32(R)
+        slot = jax.lax.rem(jax.lax.rem(jnp.int32(r), rr) + rr, rr)
+        return ring[pl.ds(slot, 1)]
+
+    x_lo = clamp_ref[0]
+    x_hi = clamp_ref[1]
+    y_lo = clamp_ref[2]
+    y_hi = clamp_ref[3]
+    r2x = jnp.asarray(1.0 / (2.0 * hx), dt)
+    r2y = jnp.asarray(1.0 / (2.0 * hy), dt)
+    r2z = jnp.asarray(1.0 / (2.0 * hz), dt)
+    rxx = jnp.asarray(1.0 / (hx * hx), dt)
+    ryy = jnp.asarray(1.0 / (hy * hy), dt)
+    rzz = jnp.asarray(1.0 / (hz * hz), dt)
+
+    mrows = jnp.concatenate(
+        [read(ring_m, k * bx + r) for r in range(bx)], axis=0)
+    inside = mrows != 0
+    zero = jnp.asarray(0, dt)
+
+    for sc in range(S):
+        rx = rx_list[sc]
+        taps_x, taps_y, taps_z = taps_lists[sc]
+        s_carry = carries[sc]
+
+        def xpass_row(ring, t, taps_x=taps_x, rx=rx):
+            acc = jnp.asarray(taps_x[0], dt) * read(ring, t - rx)
+            for j in range(1, len(taps_x)):
+                acc = acc + jnp.asarray(taps_x[j], dt) * read(
+                    ring, t - rx + j)
+            return acc
+
+        def taps_1d(a, taps, shift):
+            r = (len(taps) - 1) // 2
+            acc = jnp.asarray(taps[r], dt) * a
+            up, dn = a, a
+            for kk in range(1, r + 1):
+                up = shift(up, 1)
+                dn = shift(dn, -1)
+                acc = acc + jnp.asarray(taps[r + kk], dt) * up
+                acc = acc + jnp.asarray(taps[r - kk], dt) * dn
+            return acc
+
+        def smooth_yz(a, taps_y=taps_y, taps_z=taps_z):
+            a = taps_1d(a, taps_y, _clamp_shift_y)
+            return taps_1d(a, taps_z, _clamp_shift_z)
+
+        s_carry[pl.ds(0, 1)] = s_carry[pl.ds(bx, 1)]
+        s_carry[pl.ds(1, 1)] = s_carry[pl.ds(bx + 1, 1)]
+        for sub in range(bx):
+            t = jnp.int32(k) * bx + 1 + sub
+            s_new = smooth_yz(xpass_row(ring_n, t)) / smooth_yz(
+                xpass_row(ring_m, t))
+            s_carry[pl.ds(2 + sub, 1)] = s_new
+
+        s = s_carry[:]
+        sm = s[:-2]
+        s0 = s[1:-1]
+        sp = s[2:]
+        grow = jax.lax.broadcasted_iota(jnp.int32, s0.shape, 0) + k * bx
+        sm = jnp.where(grow <= x_lo, s0, sm)
+        sp = jnp.where(grow >= x_hi, s0, sp)
+        col = jax.lax.broadcasted_iota(jnp.int32, s0.shape, 1)
+
+        def yshift(a, off):
+            raw = _clamp_shift_y(a, off)
+            if off == 1:
+                return jnp.where(col >= y_hi, a, raw)
+            return jnp.where(col <= y_lo, a, raw)
+
+        dxx = (sp - 2 * s0 + sm) * rxx
+        s_yp = yshift(s0, 1)
+        s_ym = yshift(s0, -1)
+        dyy = (s_yp - 2 * s0 + s_ym) * ryy
+        s_zp = _clamp_shift_z(s0, 1)
+        s_zm = _clamp_shift_z(s0, -1)
+        dzz = (s_zp - 2 * s0 + s_zm) * rzz
+        dx = (sp - sm) * r2x
+        dxy = (yshift(dx, 1) - yshift(dx, -1)) * r2y
+        dxz = (_clamp_shift_z(dx, 1) - _clamp_shift_z(dx, -1)) * r2z
+        dy = (s_yp - s_ym) * r2y
+        dyz = (_clamp_shift_z(dy, 1) - _clamp_shift_z(dy, -1)) * r2z
+        dz = (s_zp - s_zm) * r2z
+        gm = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+
+        feats = eigenvalue_feature_channels(
+            dxx, dxy, dxz, dyy, dyz, dzz, use_trig=False, diag_path=False
+        )
+        o_refs[8 * sc][:] = jnp.where(inside, s0, zero)
+        o_refs[8 * sc + 1][:] = jnp.where(inside, gm, zero)
+        for ref, val in zip(
+                (o_refs[8 * sc + 2], o_refs[8 * sc + 3],
+                 o_refs[8 * sc + 4], o_refs[8 * sc + 5],
+                 o_refs[8 * sc + 6], o_refs[8 * sc + 7]), feats):
+            ref[:] = jnp.where(inside, val, zero)
+
+
 def _nc_sweep_kernel(im_ref, mk_ref, o_ref, ring_n, ring_m, *, R,
                      rx, taps_x, taps_y, taps_z):
     """Line-sweep normalized Gaussian convolution: one smoothed row per
@@ -1916,6 +2059,104 @@ def fused_features8_post_stream(
     if stack:
         return jnp.stack(outs, axis=0)
     return tuple(outs)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sigmas", "spacing", "truncate", "block",
+                              "interpret", "stack")
+)
+def fused_features8_sweep_multi(
+    image: jax.Array,
+    mask: jax.Array,
+    sigmas,
+    spacing: Sequence[float] = (1.0, 1.0, 1.0),
+    truncate: float = 4.5,
+    block: int = 1,
+    interpret: bool = False,
+    stack: bool = True,
+    clamps: jax.Array | None = None,
+):
+    """S scales of the full line-sweep features8 in ONE Pallas launch,
+    sharing the raw image/mask input rings (see
+    _features8_sweep_multi_kernel). Serves scale ladders whose LARGEST
+    radius fits the sweep ring budget — at 256^2 slices that covers the
+    product's two small scales (and more); the per-scale launch overhead
+    that dominates small volumes is paid once.
+
+    Returns a tuple of S 8-channel tuples (stack=False) or a stacked
+    (S, 8, X, Y, Z) array.
+    """
+    hx, hy, hz = (float(v) for v in spacing)
+    sigmas = tuple(float(s) for s in sigmas)
+    taps_lists = []
+    rx_list = []
+    for s in sigmas:
+        tx, rx = _smooth_taps(s, hx, float(truncate))
+        ty, _ = _smooth_taps(s, hy, float(truncate))
+        tz, _ = _smooth_taps(s, hz, float(truncate))
+        taps_lists.append((tx, ty, tz))
+        rx_list.append(rx)
+    S = len(sigmas)
+    rx_max = max(rx_list)
+
+    X, Y, Zin = image.shape
+    m = mask.astype(image.dtype)
+    Z = Zin if interpret else -(-Zin // 128) * 128
+    Yp = Y if interpret else -(-Y // 8) * 8
+    if (Yp, Z) != (Y, Zin):
+        pads = ((0, 0), (0, Yp - Y), (0, Z - Zin))
+        image = jnp.pad(image, pads, mode="edge")
+        m = jnp.pad(m, pads, mode="edge")
+    bx = max(1, int(block))
+    Xp = -(-X // bx) * bx
+    if Xp != X:
+        image = jnp.pad(image, ((0, Xp - X), (0, 0), (0, 0)), mode="edge")
+        m = jnp.pad(m, ((0, Xp - X), (0, 0), (0, 0)), mode="edge")
+    n_blocks = Xp // bx
+    L = -(-(rx_max + 1) // bx)
+    R = (-(-(2 * rx_max + 2) // bx) + 2) * bx
+
+    if clamps is None:
+        clamps = jnp.asarray([0, X - 1, 0, Y - 1], jnp.int32)
+    else:
+        clamps = jnp.asarray(clamps, jnp.int32)
+
+    kernel = functools.partial(
+        _features8_sweep_multi_kernel, R=R, n_blocks=n_blocks, bx=bx, L=L,
+        rx_list=tuple(rx_list), taps_lists=tuple(taps_lists),
+        hx=hx, hy=hy, hz=hz,
+    )
+    in_spec = pl.BlockSpec(
+        (bx, Yp, Z), lambda i: (jnp.minimum(i, n_blocks - 1), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (bx, Yp, Z), lambda i: (jnp.maximum(i - L, 0), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_blocks + L,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), in_spec, in_spec],
+        out_specs=[out_spec] * (8 * S),
+        out_shape=[jax.ShapeDtypeStruct((Xp, Yp, Z), image.dtype)] * (
+            8 * S),
+        scratch_shapes=(
+            [pltpu.VMEM((R, Yp, Z), image.dtype),
+             pltpu.VMEM((R, Yp, Z), image.dtype)]
+            + [pltpu.VMEM((bx + 2, Yp, Z), image.dtype)] * S
+        ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(clamps, image, m)
+    if (Xp, Yp, Z) != (X, Y, Zin):
+        outs = [o[:X, :Y, :Zin] for o in outs]
+    groups = tuple(tuple(outs[8 * s : 8 * s + 8]) for s in range(S))
+    if stack:
+        return jnp.stack([jnp.stack(g, 0) for g in groups], 0)
+    return groups
 
 
 @functools.partial(

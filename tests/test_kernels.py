@@ -533,6 +533,40 @@ def test_ys_multi_prime_extents():
         _features8_channel_parity(got[si], want, 1e-7)
 
 
+def test_sweep_multi_matches_per_scale():
+    """The shared-ring multi-scale sweep must match the single-device op
+    per scale (shared lag/rings sized by the largest radius must retain
+    every row the smaller radius reads)."""
+    import jax.numpy as jnp
+
+    from ife_tpu.core.volume import sphere_mask
+    from ife_tpu.kernels.fused import fused_features8_sweep_multi
+    from ife_tpu.ops.features import features8
+
+    x = synthetic_ct((16, 16, 16), seed=5, dtype=jnp.float64).data
+    mask = sphere_mask((16, 16, 16), 0.45).data
+    sigmas = (0.7, 1.4)
+    got = np.asarray(fused_features8_sweep_multi(
+        x, mask, sigmas, SPACING, interpret=True, stack=True))
+    for si, s in enumerate(sigmas):
+        want = np.asarray(features8(x, mask, s, SPACING))
+        a = np.moveaxis(got[si], 0, -1)
+        outside = np.asarray(mask) == 0
+        assert np.all(a[outside] == 0)
+        _features8_channel_parity(a, want, 1e-7)
+    # prime extents + multi-row blocks
+    xq = synthetic_ct((13, 11, 16), seed=7, dtype=jnp.float64).data
+    mq = sphere_mask((13, 11, 16), 0.45).data
+    for blk in (1, 2):
+        g = np.asarray(fused_features8_sweep_multi(
+            xq, mq, (0.9, 1.3), SPACING, block=blk, interpret=True,
+            stack=True))
+        for si, s in enumerate((0.9, 1.3)):
+            want = np.asarray(features8(xq, mq, s, SPACING))
+            _features8_channel_parity(np.moveaxis(g[si], 0, -1), want,
+                                      1e-7)
+
+
 def test_sweep_halo_extended_clamps():
     """The sharded block-sweep composition: a halo-extended block (edge
     replication at true faces, as halo_exchange produces on a boundary
