@@ -243,9 +243,10 @@ def read_dicom_series(paths: List[str]) -> Tuple[Volume, Dict[str, str]]:
                 # one frame, possibly fragmented (PS3.5 A.4) — join past
                 # the Basic Offset Table fragment
                 frame = b"".join(frags[1:]) if len(frags) > 1 else frags[0]
-                from ife_tpu.io.jpegls import decode_jpegls
+                from ife_tpu.io.jpegls import decode_jpegls_fast
 
-                raw = decode_jpegls(frame)[:rows, :cols].reshape(-1)
+                raw = decode_jpegls_fast(
+                    frame, rows, cols)[:rows, :cols].reshape(-1)
                 if bits == 8:
                     arr = raw.astype(np.uint8)
                     arr = arr.view(np.int8) if signed else arr

@@ -78,9 +78,13 @@ class _Params:
         self.qbpp = max(1, (self.range - 1).bit_length())
         bpp = max(2, (self.maxval).bit_length())
         self.limit = 2 * (bpp + max(8, bpp))
+        defaults = _default_thresholds(self.maxval, near)
+        if thresholds is None:
+            thresholds = (0, 0, 0)
+        # per-field: a zero preset selects that field's default
+        # (T.87 C.2.4.1.1)
         self.t1, self.t2, self.t3 = (
-            thresholds if thresholds is not None
-            else _default_thresholds(self.maxval, near))
+            t if t else d for t, d in zip(thresholds, defaults))
         self.reset = reset
         # context state (A.2.1 init): 365 regular + 2 run-interruption
         a_init = max(2, (self.range + 32) // 64)
@@ -332,7 +336,6 @@ def _encode_scan(img: np.ndarray, p: _Params) -> bytes:
             q3 = p.quantize_gradient(c - a)
             if q1 == 0 and q2 == 0 and q3 == 0:
                 # ---- run mode (A.7) ----
-                runindex_start = None
                 run = 0
                 jj = j
                 while jj < w and abs(int(src[i][jj]) - a) <= p.near:
@@ -382,13 +385,11 @@ def _encode_scan(img: np.ndarray, p: _Params) -> bytes:
                 if runindex > 0:
                     runindex -= 1
                 p._runindex = runindex
-                del runindex_start
                 j = jj + 1
                 continue
             # ---- regular mode (A.4-A.6) ----
             sign = -1 if q1 < 0 or (q1 == 0 and (q2 < 0 or (q2 == 0 and q3 < 0))) else 1
-            q = abs(81 * q1 + 9 * q2 + q3) if sign > 0 else abs(
-                81 * -q1 + 9 * -q2 + -q3)
+            q = abs(81 * q1 + 9 * q2 + q3)
             px = _predict(a, b, c)
             px = px + sign * p.C[q]
             px = max(0, min(p.maxval, px))
@@ -470,8 +471,7 @@ def _decode_scan(data: bytes, p: _Params, h: int, w: int) -> np.ndarray:
                 continue
             # ---- regular mode ----
             sign = -1 if q1 < 0 or (q1 == 0 and (q2 < 0 or (q2 == 0 and q3 < 0))) else 1
-            q = abs(81 * q1 + 9 * q2 + q3) if sign > 0 else abs(
-                81 * -q1 + 9 * -q2 + -q3)
+            q = abs(81 * q1 + 9 * q2 + q3)
             px = _predict(a, b, c)
             px = max(0, min(p.maxval, px + sign * p.C[q]))
             k = _regular_k(p, q)
@@ -518,6 +518,20 @@ def encode_jpegls(img: np.ndarray, precision: Optional[int] = None,
     return bytes(out)
 
 
+def decode_jpegls_fast(data: bytes, rows: int, cols: int) -> np.ndarray:
+    """decode_jpegls through the native C++ decoder when built
+    (native/libife_native.so, ~ms per CT slice vs ~0.5-2 s for the
+    per-pixel Python path), falling back to the Python reference
+    implementation. rows/cols come from the DICOM tags and are checked
+    against the SOF55 header."""
+    from ife_tpu.native_lib import jls_decode_native
+
+    out = jls_decode_native(data, rows, cols)
+    if out is not None:
+        return out
+    return decode_jpegls(data)
+
+
 def decode_jpegls(data: bytes) -> np.ndarray:
     """Decode a single-component JPEG-LS stream. Returns (rows, cols)
     uint8/uint16 (two's-complement reinterpretation of signed DICOM
@@ -552,7 +566,12 @@ def decode_jpegls(data: bytes) -> np.ndarray:
             if seg and seg[0] == 1:
                 maxval, t1, t2, t3, reset = struct.unpack_from(
                     ">HHHHH", seg, 1)
+                # a ZERO preset value means "use the default" for that
+                # parameter (T.87 C.2.4.1.1) — CharLS/GDCM emit such
+                # streams (e.g. MAXVAL set, thresholds left 0)
+                maxval = maxval or None
                 thresholds = (t1, t2, t3)
+                reset = reset or _RESET_DEFAULT
         elif marker == _SOS:
             ns = seg[0]
             if ns != 1:

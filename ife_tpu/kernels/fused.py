@@ -213,6 +213,64 @@ def _clamp_shift_y(s: jnp.ndarray, off: int) -> jnp.ndarray:
     raise ValueError(off)
 
 
+def _emit_features8(o_refs, inside, s0, sm, sp, yshift, hx, hy, hz):
+    """The shared features8 tail: gradient magnitude, 6-channel Hessian
+    (cascaded cross terms), eigen features, masking — written to the 8
+    output refs. ONE copy for every streaming kernel (sweep, sweep
+    multi, xs stream, ys multi): the round-5 true-face clamp bug
+    existed precisely because this chain was copy-pasted per kernel and
+    the copies drifted. Callers provide the x-stencil rows (sm, s0, sp
+    — with their own phantom-clamp policy already applied) and the
+    y-shift function (plain edge clamp, or the dynamic true-face
+    variant for halo-extended shard blocks); z is always the full lane
+    extent with plain clamps. Semantics: reference
+    Hessian3DImageFilter.hxx:19-59 + ImageToEmphysemaFeaturesFilter
+    .hxx:14-55."""
+    dt = s0.dtype
+    r2x = jnp.asarray(1.0 / (2.0 * hx), dt)
+    r2y = jnp.asarray(1.0 / (2.0 * hy), dt)
+    r2z = jnp.asarray(1.0 / (2.0 * hz), dt)
+    rxx = jnp.asarray(1.0 / (hx * hx), dt)
+    ryy = jnp.asarray(1.0 / (hy * hy), dt)
+    rzz = jnp.asarray(1.0 / (hz * hz), dt)
+
+    dxx = (sp - 2 * s0 + sm) * rxx
+    s_yp = yshift(s0, 1)
+    s_ym = yshift(s0, -1)
+    dyy = (s_yp - 2 * s0 + s_ym) * ryy
+    s_zp = _clamp_shift_z(s0, 1)
+    s_zm = _clamp_shift_z(s0, -1)
+    dzz = (s_zp - 2 * s0 + s_zm) * rzz
+    dx = (sp - sm) * r2x
+    dxy = (yshift(dx, 1) - yshift(dx, -1)) * r2y
+    dxz = (_clamp_shift_z(dx, 1) - _clamp_shift_z(dx, -1)) * r2z
+    dy = (s_yp - s_ym) * r2y
+    dyz = (_clamp_shift_z(dy, 1) - _clamp_shift_z(dy, -1)) * r2z
+    dz = (s_zp - s_zm) * r2z
+    gm = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+
+    feats = eigenvalue_feature_channels(
+        dxx, dxy, dxz, dyy, dyz, dzz, use_trig=False, diag_path=False
+    )
+    zero = jnp.asarray(0, dt)
+    o_refs[0][:] = jnp.where(inside, s0, zero)
+    o_refs[1][:] = jnp.where(inside, gm, zero)
+    for ref, val in zip(o_refs[2:8], feats):
+        ref[:] = jnp.where(inside, val, zero)
+
+
+def _true_face_yshift(y_lo, y_hi, col):
+    """y shift whose phantom clamps at DYNAMIC true-face columns (the
+    halo-extended shard case — see _features8_sweep_kernel docstring)."""
+    def yshift(a, off):
+        raw = _clamp_shift_y(a, off)
+        if off == 1:
+            return jnp.where(col >= y_hi, a, raw)
+        return jnp.where(col <= y_lo, a, raw)
+
+    return yshift
+
+
 def _stream_kernel(x_ref, *refs, bx, hx, hy, hz, n_x, ext_halo=False):
     """Streaming Hessian+eig: 1D grid over x-slabs, NO manual halo DMA.
 
@@ -751,55 +809,15 @@ def _features8_sweep_kernel(clamp_ref, im_ref, mk_ref, o0, o1, o2, o3, o4,
     # stencil phantom clamp at the TRUE faces (see docstring): dynamic
     # rows/columns from clamp_ref so halo-extended shard blocks clamp at
     # the kept core's true faces, not the extension's
-    x_lo = clamp_ref[0]
-    x_hi = clamp_ref[1]
-    y_lo = clamp_ref[2]
-    y_hi = clamp_ref[3]
     grow = jax.lax.broadcasted_iota(jnp.int32, s0.shape, 0) + k * bx
-    sm = jnp.where(grow <= x_lo, s0, sm)
-    sp = jnp.where(grow >= x_hi, s0, sp)
+    sm = jnp.where(grow <= clamp_ref[0], s0, sm)
+    sp = jnp.where(grow >= clamp_ref[1], s0, sp)
     col = jax.lax.broadcasted_iota(jnp.int32, s0.shape, 1)
-
-    def yshift(a, off):
-        # y shift whose phantom clamps at the dynamic true-face columns
-        raw = _clamp_shift_y(a, off)
-        if off == 1:
-            return jnp.where(col >= y_hi, a, raw)
-        return jnp.where(col <= y_lo, a, raw)
-
-    r2x = jnp.asarray(1.0 / (2.0 * hx), dt)
-    r2y = jnp.asarray(1.0 / (2.0 * hy), dt)
-    r2z = jnp.asarray(1.0 / (2.0 * hz), dt)
-    rxx = jnp.asarray(1.0 / (hx * hx), dt)
-    ryy = jnp.asarray(1.0 / (hy * hy), dt)
-    rzz = jnp.asarray(1.0 / (hz * hz), dt)
-
-    dxx = (sp - 2 * s0 + sm) * rxx
-    s_yp = yshift(s0, 1)
-    s_ym = yshift(s0, -1)
-    dyy = (s_yp - 2 * s0 + s_ym) * ryy
-    s_zp = _clamp_shift_z(s0, 1)
-    s_zm = _clamp_shift_z(s0, -1)
-    dzz = (s_zp - 2 * s0 + s_zm) * rzz
-    dx = (sp - sm) * r2x
-    dxy = (yshift(dx, 1) - yshift(dx, -1)) * r2y
-    dxz = (_clamp_shift_z(dx, 1) - _clamp_shift_z(dx, -1)) * r2z
-    dy = (s_yp - s_ym) * r2y
-    dyz = (_clamp_shift_z(dy, 1) - _clamp_shift_z(dy, -1)) * r2z
-    dz = (s_zp - s_zm) * r2z
-    gm = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-
-    feats = eigenvalue_feature_channels(
-        dxx, dxy, dxz, dyy, dyz, dzz, use_trig=False, diag_path=False
-    )
     mrows = jnp.concatenate(
         [read(ring_m, k * bx + r) for r in range(bx)], axis=0)
-    inside = mrows != 0
-    zero = jnp.asarray(0, dt)
-    o0[:] = jnp.where(inside, s0, zero)
-    o1[:] = jnp.where(inside, gm, zero)
-    for ref, val in zip((o2, o3, o4, o5, o6, o7), feats):
-        ref[:] = jnp.where(inside, val, zero)
+    _emit_features8(
+        (o0, o1, o2, o3, o4, o5, o6, o7), mrows != 0, s0, sm, sp,
+        _true_face_yshift(clamp_ref[2], clamp_ref[3], col), hx, hy, hz)
 
 
 def _features8_xs_stream_kernel(n_ref, d_ref, m_ref, o0, o1, o2, o3, o4,
@@ -878,42 +896,16 @@ def _features8_xs_stream_kernel(n_ref, d_ref, m_ref, o0, o1, o2, o3, o4,
     s0 = s[1:-1]
     sp = s[2:]
     # stencil phantom-row clamp at the true x faces: the smoothed-at-
-    # phantom value is NOT the ZeroFluxNeumann neighbor of the stencil
+    # phantom value is NOT the ZeroFluxNeumann neighbor of the stencil.
+    # This entry serves whole volumes (sharded callers use the sweep
+    # kernels), so the true faces are static; y pads are replicas of
+    # the ALREADY-smoothed field, so the plain y clamp is exact.
     grow = jax.lax.broadcasted_iota(jnp.int32, s0.shape, 0) + k * bx
     sm = jnp.where(grow <= 0, s0, sm)
     sp = jnp.where(grow >= x_true - 1, s0, sp)
-
-    r2x = jnp.asarray(1.0 / (2.0 * hx), dt)
-    r2y = jnp.asarray(1.0 / (2.0 * hy), dt)
-    r2z = jnp.asarray(1.0 / (2.0 * hz), dt)
-    rxx = jnp.asarray(1.0 / (hx * hx), dt)
-    ryy = jnp.asarray(1.0 / (hy * hy), dt)
-    rzz = jnp.asarray(1.0 / (hz * hz), dt)
-
-    dxx = (sp - 2 * s0 + sm) * rxx
-    s_yp = _clamp_shift_y(s0, 1)
-    s_ym = _clamp_shift_y(s0, -1)
-    dyy = (s_yp - 2 * s0 + s_ym) * ryy
-    s_zp = _clamp_shift_z(s0, 1)
-    s_zm = _clamp_shift_z(s0, -1)
-    dzz = (s_zp - 2 * s0 + s_zm) * rzz
-    dx = (sp - sm) * r2x
-    dxy = (_clamp_shift_y(dx, 1) - _clamp_shift_y(dx, -1)) * r2y
-    dxz = (_clamp_shift_z(dx, 1) - _clamp_shift_z(dx, -1)) * r2z
-    dy = (s_yp - s_ym) * r2y
-    dyz = (_clamp_shift_z(dy, 1) - _clamp_shift_z(dy, -1)) * r2z
-    dz = (s_zp - s_zm) * r2z
-    gm = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-
-    feats = eigenvalue_feature_channels(
-        dxx, dxy, dxz, dyy, dyz, dzz, use_trig=False, diag_path=False
-    )
-    inside = m_ref[:] != 0
-    zero = jnp.asarray(0, dt)
-    o0[:] = jnp.where(inside, s0, zero)
-    o1[:] = jnp.where(inside, gm, zero)
-    for ref, val in zip((o2, o3, o4, o5, o6, o7), feats):
-        ref[:] = jnp.where(inside, val, zero)
+    _emit_features8(
+        (o0, o1, o2, o3, o4, o5, o6, o7), m_ref[:] != 0, s0, sm, sp,
+        _clamp_shift_y, hx, hy, hz)
 
 
 def _banded_dot(W, x2d, radius, precision, B=128):
@@ -976,14 +968,6 @@ def _features8_ys_multi_kernel(*refs, S, n_x, radii, hx, hy, hz):
     prevs = refs[3 * S + 1 + 8 * S : 3 * S + 1 + 9 * S]
     lasts = refs[3 * S + 1 + 9 * S :]
     i = pl.program_id(0)
-    dt = n_refs[0].dtype
-    r2x = jnp.asarray(1.0 / (2.0 * hx), dt)
-    r2y = jnp.asarray(1.0 / (2.0 * hy), dt)
-    r2z = jnp.asarray(1.0 / (2.0 * hz), dt)
-    rxx = jnp.asarray(1.0 / (hx * hx), dt)
-    ryy = jnp.asarray(1.0 / (hy * hy), dt)
-    rzz = jnp.asarray(1.0 / (hz * hz), dt)
-    zero = jnp.asarray(0, dt)
     from ife_tpu.ops.stencil import MATMUL_PRECISION as prec
 
     inside = m_ref[:] != 0
@@ -999,29 +983,11 @@ def _features8_ys_multi_kernel(*refs, S, n_x, radii, hx, hy, hz):
             s0 = prevs[s][:]          # smoothed row i-1 (emitted now)
             sm = lasts[s][:]          # row i-2 (or the row -1 clamp)
             sp = jnp.where(i == n_x, s0, cur)  # row i (or the clamp)
-
-            dxx = (sp - 2 * s0 + sm) * rxx
-            s_yp = _clamp_shift_y(s0, 1)
-            s_ym = _clamp_shift_y(s0, -1)
-            dyy = (s_yp - 2 * s0 + s_ym) * ryy
-            s_zp = _clamp_shift_z(s0, 1)
-            s_zm = _clamp_shift_z(s0, -1)
-            dzz = (s_zp - 2 * s0 + s_zm) * rzz
-            dx = (sp - sm) * r2x
-            dxy = (_clamp_shift_y(dx, 1) - _clamp_shift_y(dx, -1)) * r2y
-            dxz = (_clamp_shift_z(dx, 1) - _clamp_shift_z(dx, -1)) * r2z
-            dy = (s_yp - s_ym) * r2y
-            dyz = (_clamp_shift_z(dy, 1) - _clamp_shift_z(dy, -1)) * r2z
-            dz = (s_zp - s_zm) * r2z
-            gm = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-
-            feats = eigenvalue_feature_channels(
-                dxx, dxy, dxz, dyy, dyz, dzz, use_trig=False,
-                diag_path=False)
-            o_refs[8 * s][:] = jnp.where(inside, s0, zero)
-            o_refs[8 * s + 1][:] = jnp.where(inside, gm, zero)
-            for k, val in enumerate(feats):
-                o_refs[8 * s + 2 + k][:] = jnp.where(inside, val, zero)
+            # y pads are exactly s(Y-1) by the clamp-folded band matrix
+            # (see the wrapper), so the plain y clamp is exact
+            _emit_features8(
+                o_refs[8 * s : 8 * s + 8], inside, s0, sm, sp,
+                _clamp_shift_y, hx, hy, hz)
 
         @pl.when(i == 0)
         def _(s=s, cur=cur):
@@ -1092,17 +1058,9 @@ def _features8_sweep_multi_kernel(clamp_ref, im_ref, mk_ref, *refs, R,
     x_hi = clamp_ref[1]
     y_lo = clamp_ref[2]
     y_hi = clamp_ref[3]
-    r2x = jnp.asarray(1.0 / (2.0 * hx), dt)
-    r2y = jnp.asarray(1.0 / (2.0 * hy), dt)
-    r2z = jnp.asarray(1.0 / (2.0 * hz), dt)
-    rxx = jnp.asarray(1.0 / (hx * hx), dt)
-    ryy = jnp.asarray(1.0 / (hy * hy), dt)
-    rzz = jnp.asarray(1.0 / (hz * hz), dt)
-
     mrows = jnp.concatenate(
         [read(ring_m, k * bx + r) for r in range(bx)], axis=0)
     inside = mrows != 0
-    zero = jnp.asarray(0, dt)
 
     for sc in range(S):
         rx = rx_list[sc]
@@ -1147,38 +1105,9 @@ def _features8_sweep_multi_kernel(clamp_ref, im_ref, mk_ref, *refs, R,
         sm = jnp.where(grow <= x_lo, s0, sm)
         sp = jnp.where(grow >= x_hi, s0, sp)
         col = jax.lax.broadcasted_iota(jnp.int32, s0.shape, 1)
-
-        def yshift(a, off):
-            raw = _clamp_shift_y(a, off)
-            if off == 1:
-                return jnp.where(col >= y_hi, a, raw)
-            return jnp.where(col <= y_lo, a, raw)
-
-        dxx = (sp - 2 * s0 + sm) * rxx
-        s_yp = yshift(s0, 1)
-        s_ym = yshift(s0, -1)
-        dyy = (s_yp - 2 * s0 + s_ym) * ryy
-        s_zp = _clamp_shift_z(s0, 1)
-        s_zm = _clamp_shift_z(s0, -1)
-        dzz = (s_zp - 2 * s0 + s_zm) * rzz
-        dx = (sp - sm) * r2x
-        dxy = (yshift(dx, 1) - yshift(dx, -1)) * r2y
-        dxz = (_clamp_shift_z(dx, 1) - _clamp_shift_z(dx, -1)) * r2z
-        dy = (s_yp - s_ym) * r2y
-        dyz = (_clamp_shift_z(dy, 1) - _clamp_shift_z(dy, -1)) * r2z
-        dz = (s_zp - s_zm) * r2z
-        gm = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-
-        feats = eigenvalue_feature_channels(
-            dxx, dxy, dxz, dyy, dyz, dzz, use_trig=False, diag_path=False
-        )
-        o_refs[8 * sc][:] = jnp.where(inside, s0, zero)
-        o_refs[8 * sc + 1][:] = jnp.where(inside, gm, zero)
-        for ref, val in zip(
-                (o_refs[8 * sc + 2], o_refs[8 * sc + 3],
-                 o_refs[8 * sc + 4], o_refs[8 * sc + 5],
-                 o_refs[8 * sc + 6], o_refs[8 * sc + 7]), feats):
-            ref[:] = jnp.where(inside, val, zero)
+        _emit_features8(
+            o_refs[8 * sc : 8 * sc + 8], inside, s0, sm, sp,
+            _true_face_yshift(y_lo, y_hi, col), hx, hy, hz)
 
 
 def _nc_sweep_kernel(im_ref, mk_ref, o_ref, ring_n, ring_m, *, R,
@@ -1676,7 +1605,7 @@ def fused_features8_xs_stream(
 
 @functools.partial(
     jax.jit, static_argnames=("sigmas", "spacing", "truncate",
-                              "interpret", "stack")
+                              "interpret", "stack", "pad_to")
 )
 def fused_features8_ys_multi(
     nums,
@@ -1687,6 +1616,7 @@ def fused_features8_ys_multi(
     truncate: float = 4.5,
     interpret: bool = False,
     stack: bool = True,
+    pad_to=None,
 ):
     """Multi-scale features8 from x/z-pre-smoothed numerator/denominator
     volumes: ONE streaming Pallas pass computes, for every scale, the
@@ -1711,8 +1641,14 @@ def fused_features8_ys_multi(
     hx, hy, hz = (float(v) for v in spacing)
     X, Y, Zin = nums[0].shape
     m = mask.astype(nums[0].dtype)
-    Z = Zin if interpret else -(-Zin // 128) * 128
-    Yp = Y if interpret else -(-Y // 8) * 8
+    if pad_to is not None:
+        # test hook: force the TPU alignment-padding path (incl. the
+        # clamp-folded band matrix) under the interpreter, where the
+        # natural alignment would be a no-op
+        Yp, Z = pad_to
+    else:
+        Z = Zin if interpret else -(-Zin // 128) * 128
+        Yp = Y if interpret else -(-Y // 8) * 8
     if (Yp, Z) != (Y, Zin):
         # edge replicas: the in-kernel y contraction's clamp rows at
         # Yp-1 read exact replicas of row Y-1, composing to the true
@@ -1732,7 +1668,22 @@ def fused_features8_ys_multi(
         sv = float(s) / hy
         r = gaussian_radius(sv, float(truncate))
         radii.append(r)
-        Ws.append(jnp.asarray(_band_matrix(Yp, sv, r), nums[0].dtype))
+        # the TRUE-face clamp is folded into the band matrix: rows are
+        # built for the TRUE extent Y (clamp at Y-1), padded OUTPUT rows
+        # replicate row Y-1 so the smoothed padded columns are EXACTLY
+        # s(Y-1) — the value the stencil's edge clamp must read — and
+        # padded INPUT columns get zero weight (their replicas are
+        # already folded into column Y-1 by the clamp rows). Building W
+        # for Yp instead made padded columns "smoothing evaluated at a
+        # virtual position", which the stencil then consumed at the last
+        # true column — the same true-face bug class the round-5 gate
+        # caught in the sweep path (review finding; exercised by
+        # test_ys_multi_unaligned_y via pad_to).
+        Wt = _band_matrix(Y, sv, r)
+        Wp = np.zeros((Yp, Yp), dtype=Wt.dtype)
+        Wp[:Y, :Y] = Wt
+        Wp[Y:, :Y] = Wt[Y - 1]
+        Ws.append(jnp.asarray(Wp, nums[0].dtype))
 
     kernel = functools.partial(
         _features8_ys_multi_kernel, S=S, n_x=n_x, radii=tuple(radii),
@@ -1824,21 +1775,23 @@ def fused_features8(
     from ife_tpu.ops.stencil import normalized_gaussian_convolution
 
     m = jnp.clip(mask, 0, 1)
-    use_nc_sweep = False
+    branch = None
     if not interpret and jax.devices()[0].platform == "tpu":
-        from ife_tpu.ops.features import _nc_sweep_fits, _sweep_rx_ok
+        # the same single-source branch helper the verify gate keys its
+        # entries by; callers who reach here on the "sweep" branch (the
+        # whole-pipeline sweep is a different entry point) get the
+        # nearest form, the nc-sweep smoothing + streaming post kernel
+        from ife_tpu.ops.features import features8_dispatch_branch
 
-        use_nc_sweep = (_nc_sweep_fits(sigma, spacing, image.shape,
-                                       truncate)
-                        and _sweep_rx_ok(sigma, spacing, truncate))
-    if use_nc_sweep:
+        branch = features8_dispatch_branch(sigma, spacing, image.shape,
+                                           truncate)
+    if branch in ("sweep", "nc_sweep+post_stream"):
         # small radii: smoothing as one line-sweep pass (3 volumes of
         # traffic) beats the 6-MXU-pass pipeline
         s = fused_normalized_conv_sweep(
             image, m.astype(image.dtype), sigma, spacing, truncate
         )
-    elif (not interpret and jax.devices()[0].platform == "tpu"
-          and _xs_stream_fits(sigma, spacing, image.shape, truncate)):
+    elif branch == "xs_stream":
         # larger radii whose x rings still fit: y/z smoothing on the MXU
         # band einsums (radius-independent), then the x pass + divide +
         # feature chain in ONE streaming kernel — removes the two x-axis

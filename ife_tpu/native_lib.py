@@ -77,13 +77,15 @@ def lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_double), ctypes.c_int32,
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64),
     ]
-    if hasattr(L, "ife_jll_decode"):  # older builds may predate it
-        L.ife_jll_decode.argtypes = [
-            ctypes.c_char_p, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_uint16),
-            ctypes.c_int32, ctypes.c_int32,
-        ]
-        L.ife_jll_decode.restype = ctypes.c_int
+    for fn in ("ife_jll_decode", "ife_jls_decode"):
+        if hasattr(L, fn):  # older builds may predate either decoder
+            f = getattr(L, fn)
+            f.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint16),
+                ctypes.c_int32, ctypes.c_int32,
+            ]
+            f.restype = ctypes.c_int
     _lib = L
     return _lib
 
@@ -210,4 +212,23 @@ def jll_decode_native(data: bytes, rows: int, cols: int):
     )
     if rc != 0:
         raise ValueError(f"JPEG lossless decode failed (native rc={rc})")
+    return out
+
+
+def jls_decode_native(data: bytes, rows: int, cols: int):
+    """Decode a single-component JPEG-LS (T.87) stream via the C++
+    decoder; (rows, cols) uint16 array, or None when the library (or
+    symbol) is unavailable. Raises ValueError on malformed streams
+    (same classes the Python decoder rejects)."""
+    L = lib()
+    if L is None or not hasattr(L, "ife_jls_decode"):
+        return None
+    out = np.empty((rows, cols), dtype=np.uint16)
+    rc = L.ife_jls_decode(
+        data, len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        rows, cols,
+    )
+    if rc != 0:
+        raise ValueError(f"JPEG-LS decode failed (native rc={rc})")
     return out

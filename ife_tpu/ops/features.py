@@ -246,8 +246,10 @@ def features8_auto_channels(image, mask, sigma, spacing=(1.0, 1.0, 1.0),
     (found by the device make-bag path, round 4). Prefer this form when
     consumers read channels independently."""
     if jax.devices()[0].platform == "tpu" and image.ndim == 3:
-        if (_sweep_fits(sigma, spacing, image.shape, truncate)
-                and _sweep_rx_ok(sigma, spacing, truncate)):
+        # ONE source of truth for the branch choice: the same helper
+        # the verify gate keys its entries by (features8_dispatch_branch)
+        if features8_dispatch_branch(sigma, spacing, image.shape,
+                                     truncate) == "sweep":
             from ife_tpu.kernels.fused import fused_features8_sweep
 
             return fused_features8_sweep(

@@ -535,4 +535,329 @@ int ife_jll_decode(const uint8_t* d, int64_t len, uint16_t* out,
   return -6;  // no scan found
 }
 
+// ---------------------------------------------------------------------------
+// JPEG-LS (T.87 LOCO-I) decoder
+// ---------------------------------------------------------------------------
+// Native fast path for ife_tpu/io/jpegls.py (DICOM transfer syntaxes
+// 1.2.840.10008.1.2.4.80/.81): the pure-Python per-pixel decoder costs
+// ~0.5-2 s per CT slice; this mirrors it statement for statement
+// (context modeling, Golomb limits, run mode, RI mapping, LSE
+// zero-means-default) so the two stay byte-identical.
+
+namespace jls {
+
+struct BitReader {
+  const uint8_t* d;
+  int64_t len;
+  int64_t pos = 0;
+  uint32_t acc = 0;
+  int nbits = 0;
+  bool prev_ff = false;
+  int bit() {
+    if (nbits == 0) {
+      if (pos >= len) return 0;  // tolerate ragged zero padding
+      uint8_t b = d[pos++];
+      if (prev_ff) {
+        acc = b & 0x7F;
+        nbits = 7;
+      } else {
+        acc = b;
+        nbits = 8;
+      }
+      prev_ff = (b == 0xFF);
+    }
+    --nbits;
+    return (acc >> nbits) & 1;
+  }
+  uint32_t bits(int k) {
+    uint32_t v = 0;
+    while (k--) v = (v << 1) | bit();
+    return v;
+  }
+};
+
+static const int J[32] = {0, 0, 0, 0, 1, 1, 1, 1, 2, 2,  2,  2,  3,  3, 3, 3,
+                          4, 4, 5, 5, 6, 6, 7, 7, 8, 9, 10, 11, 12, 13, 14, 15};
+
+struct Params {
+  int maxval, near, range, qbpp, limit, t1, t2, t3, reset;
+  int64_t A[367], B[365], N[367], Nn[2];
+  int C[365];
+  int runindex = 0;
+  void init(int precision, int near_, int maxval_, int t1_, int t2_,
+            int t3_, int reset_) {
+    near = near_;
+    maxval = maxval_ > 0 ? maxval_ : (1 << precision) - 1;
+    range = (maxval + 2 * near) / (2 * near + 1) + 1;
+    qbpp = 1;
+    while ((1 << qbpp) < range) ++qbpp;
+    int bpp = 2;
+    while ((1 << bpp) <= maxval) ++bpp;
+    if (bpp < 2) bpp = 2;
+    limit = 2 * (bpp + (bpp > 8 ? bpp : 8));
+    // defaults (C.2.4.1.1.1); a ZERO preset selects the default field
+    auto clampf = [&](long long i, int j) {
+      return (i > maxval || i < j) ? j : static_cast<int>(i);
+    };
+    int d1, d2, d3;
+    if (maxval >= 128) {
+      int f = ((maxval < 4095 ? maxval : 4095) + 128) / 256;
+      d1 = clampf(1LL * f + 2 + 3 * near, near + 1);
+      d2 = clampf(4LL * f + 3 + 5 * near, d1);
+      d3 = clampf(17LL * f + 4 + 7 * near, d2);
+    } else {
+      int f = 256 / (maxval + 1);
+      int b1 = 3 / f + 3 * near;
+      int b2 = 7 / f + 5 * near;
+      int b3 = 21 / f + 7 * near;
+      d1 = clampf(b1 > 2 ? b1 : 2, near + 1);
+      d2 = clampf(b2 > 3 ? b2 : 3, d1);
+      d3 = clampf(b3 > 4 ? b3 : 4, d2);
+    }
+    t1 = t1_ ? t1_ : d1;
+    t2 = t2_ ? t2_ : d2;
+    t3 = t3_ ? t3_ : d3;
+    reset = reset_ ? reset_ : 64;
+    int64_t a0 = (range + 32) / 64;
+    if (a0 < 2) a0 = 2;
+    for (int i = 0; i < 367; ++i) {
+      A[i] = a0;
+      N[i] = 1;
+    }
+    for (int i = 0; i < 365; ++i) {
+      B[i] = 0;
+      C[i] = 0;
+    }
+    Nn[0] = Nn[1] = 0;
+  }
+  int quant(int dv) const {
+    if (dv <= -t3) return -4;
+    if (dv <= -t2) return -3;
+    if (dv <= -t1) return -2;
+    if (dv < -near) return -1;
+    if (dv <= near) return 0;
+    if (dv < t1) return 1;
+    if (dv < t2) return 2;
+    if (dv < t3) return 3;
+    return 4;
+  }
+};
+
+static inline int golomb_decode(BitReader& br, int k, int glimit,
+                                int qbpp, bool* err) {
+  int z = 0;
+  while (br.bit() == 0) {
+    if (++z > glimit) {
+      *err = true;
+      return 0;
+    }
+  }
+  if (z < glimit - qbpp - 1)
+    return (z << k) | (k ? static_cast<int>(br.bits(k)) : 0);
+  return static_cast<int>(br.bits(qbpp)) + 1;
+}
+
+static inline int mod_range(int e, int range) {
+  if (e < 0) e += range;
+  if (e >= (range + 1) / 2) e -= range;
+  return e;
+}
+
+static inline int reconstruct(const Params& p, int px, int sign, int e) {
+  int rx = px + sign * e * (2 * p.near + 1);
+  if (rx < -p.near)
+    rx += p.range * (2 * p.near + 1);
+  else if (rx > p.maxval + p.near)
+    rx -= p.range * (2 * p.near + 1);
+  if (rx < 0) rx = 0;
+  if (rx > p.maxval) rx = p.maxval;
+  return rx;
+}
+
+}  // namespace jls
+
+// Decode a single-component ILV=0 JPEG-LS stream into out (rows*cols
+// uint16). Returns 0 on success, <0 on error (mirrors the Python
+// decoder's ValueErrors).
+int ife_jls_decode(const uint8_t* d, int64_t len, uint16_t* out,
+                   int32_t rows, int32_t cols) {
+  auto u16at = [&](int64_t p) -> int { return (d[p] << 8) | d[p + 1]; };
+  if (len < 4 || u16at(0) != 0xFFD8) return -1;
+  int64_t pos = 2;
+  int precision = 0, frows = 0, fcols = 0;
+  int lse_maxval = 0, lse_t1 = 0, lse_t2 = 0, lse_t3 = 0, lse_reset = 0;
+  while (pos + 4 <= len) {
+    int marker = u16at(pos);
+    pos += 2;
+    if (marker == 0xFFD9) break;
+    if (marker < 0xFFC0 || marker > 0xFFFE) return -2;
+    int seglen = u16at(pos);
+    if (pos + seglen > len) return -2;
+    const uint8_t* seg = d + pos + 2;
+    int segn = seglen - 2;
+    if (marker == 0xFFF7) {  // SOF55
+      if (segn < 6) return -2;
+      precision = seg[0];
+      frows = (seg[1] << 8) | seg[2];
+      fcols = (seg[3] << 8) | seg[4];
+      if (seg[5] != 1) return -3;
+    } else if (marker == 0xFFF8) {  // LSE
+      if (segn >= 11 && seg[0] == 1) {
+        lse_maxval = (seg[1] << 8) | seg[2];
+        lse_t1 = (seg[3] << 8) | seg[4];
+        lse_t2 = (seg[5] << 8) | seg[6];
+        lse_t3 = (seg[7] << 8) | seg[8];
+        lse_reset = (seg[9] << 8) | seg[10];
+      }
+    } else if (marker == 0xFFDA) {  // SOS
+      if (segn < 6) return -2;
+      if (seg[0] != 1) return -3;
+      int near = seg[1 + 2];
+      int ilv = seg[2 + 2];
+      if (ilv != 0) return -3;
+      if (!precision || frows != rows || fcols != cols) return -7;
+      jls::Params p;  // ~12 KB of context state: fine on the stack
+      p.init(precision, near, lse_maxval, lse_t1, lse_t2, lse_t3,
+             lse_reset);
+      p.runindex = 0;
+      jls::BitReader br{d + pos + seglen, len - pos - seglen};
+      bool err = false;
+      for (int32_t i = 0; i < rows; ++i) {
+        uint16_t* row = out + static_cast<int64_t>(i) * cols;
+        const uint16_t* up =
+            i ? out + static_cast<int64_t>(i - 1) * cols : nullptr;
+        const uint16_t* up2 =
+            i >= 2 ? out + static_cast<int64_t>(i - 2) * cols : nullptr;
+        int32_t j = 0;
+        while (j < cols) {
+          // causal template with the A.2.1 edge rules
+          int a, b, c_, dd;
+          if (i == 0) {
+            b = c_ = dd = 0;
+            a = j ? row[j - 1] : 0;
+          } else {
+            b = up[j];
+            dd = (j + 1 < cols) ? up[j + 1] : b;
+            if (j == 0) {
+              a = b;
+              c_ = up2 ? up2[0] : 0;
+            } else {
+              a = row[j - 1];
+              c_ = up[j - 1];
+            }
+          }
+          int q1 = p.quant(dd - b), q2 = p.quant(b - c_),
+              q3 = p.quant(c_ - a);
+          if (q1 == 0 && q2 == 0 && q3 == 0) {
+            // ---- run mode (A.7) ----
+            bool end_of_line = false;
+            while (br.bit() == 1) {
+              int n = 1 << jls::J[p.runindex];
+              int take = n < cols - j ? n : cols - j;
+              for (int t = 0; t < take; ++t) row[j + t] = (uint16_t)a;
+              j += take;
+              if (take < n || j >= cols) {
+                end_of_line = true;
+                if (p.runindex < 31 && take == n) ++p.runindex;
+                break;
+              }
+              if (p.runindex < 31) ++p.runindex;
+            }
+            if (end_of_line) continue;
+            int r = jls::J[p.runindex]
+                        ? static_cast<int>(br.bits(jls::J[p.runindex]))
+                        : 0;
+            if (r > cols - j) return -8;
+            for (int t = 0; t < r; ++t) row[j + t] = (uint16_t)a;
+            j += r;
+            if (j >= cols) return -8;
+            // ---- run-interruption sample (A.7.2) ----
+            int bri = i ? up[j] : 0;
+            int ritype = (std::abs(a - bri) <= p.near) ? 1 : 0;
+            int px = ritype ? a : bri;
+            int sign = (ritype == 0 && a > bri) ? -1 : 1;
+            int q = 365 + ritype;
+            int64_t temp = ritype ? p.A[366] + (p.N[366] >> 1) : p.A[365];
+            int k = 0;
+            while ((p.N[q] << k) < temp) ++k;
+            int glimit = p.limit - jls::J[p.runindex] - 1;
+            int em = jls::golomb_decode(br, k, glimit, p.qbpp, &err);
+            if (err) return -8;
+            int s = em + ritype;  // 2|e| - map
+            int errval;
+            if (k == 0 && 2 * p.Nn[q - 365] < p.N[q])
+              errval = (s % 2) ? (s + 1) / 2 : -(s / 2);
+            else
+              errval = (s % 2 == 0) ? s / 2 : -((s + 1) / 2);
+            row[j] = (uint16_t)jls::reconstruct(p, px, sign, errval);
+            if (errval < 0) ++p.Nn[q - 365];
+            p.A[q] += (em + 1 - ritype) >> 1;
+            if (p.N[q] == p.reset) {
+              p.A[q] >>= 1;
+              p.N[q] >>= 1;
+              p.Nn[q - 365] >>= 1;
+            }
+            ++p.N[q];
+            if (p.runindex > 0) --p.runindex;
+            ++j;
+            continue;
+          }
+          // ---- regular mode (A.4-A.6) ----
+          int sign =
+              (q1 < 0 || (q1 == 0 && (q2 < 0 || (q2 == 0 && q3 < 0))))
+                  ? -1
+                  : 1;
+          int q = std::abs(81 * q1 + 9 * q2 + q3);
+          int px;
+          if (c_ >= (a > b ? a : b))
+            px = a < b ? a : b;
+          else if (c_ <= (a < b ? a : b))
+            px = a > b ? a : b;
+          else
+            px = a + b - c_;
+          px += sign * p.C[q];
+          if (px < 0) px = 0;
+          if (px > p.maxval) px = p.maxval;
+          int k = 0;
+          while ((p.N[q] << k) < p.A[q]) ++k;
+          int merr = jls::golomb_decode(br, k, p.limit, p.qbpp, &err);
+          if (err) return -8;
+          int errval;
+          if (p.near == 0 && k == 0 && 2 * p.B[q] <= -p.N[q])
+            errval = (merr % 2) ? (merr - 1) / 2 : -(merr / 2) - 1;
+          else
+            errval = (merr % 2 == 0) ? merr / 2 : -((merr + 1) / 2);
+          errval = jls::mod_range(errval, p.range);
+          row[j] = (uint16_t)jls::reconstruct(p, px, sign, errval);
+          // A/B/N update + bias (A.6)
+          p.B[q] += static_cast<int64_t>(errval) * (2 * p.near + 1);
+          p.A[q] += std::abs(errval);
+          if (p.N[q] == p.reset) {
+            p.A[q] >>= 1;
+            p.B[q] = p.B[q] >= 0 ? (p.B[q] >> 1) : -((1 - p.B[q]) >> 1);
+            p.N[q] >>= 1;
+          }
+          ++p.N[q];
+          if (p.B[q] <= -p.N[q]) {
+            if (p.C[q] > -128) --p.C[q];
+            p.B[q] += p.N[q];
+            if (p.B[q] <= -p.N[q]) p.B[q] = -p.N[q] + 1;
+          } else if (p.B[q] > 0) {
+            if (p.C[q] < 127) ++p.C[q];
+            p.B[q] -= p.N[q];
+            if (p.B[q] > 0) p.B[q] = 0;
+          }
+          ++j;
+        }
+      }
+      return 0;
+    } else if (marker >= 0xFFC0 && marker <= 0xFFCF && marker != 0xFFC4 &&
+               marker != 0xFFC8) {
+      return -5;
+    }
+    pos += seglen;
+  }
+  return -6;  // no scan found
+}
+
 }  // extern "C"

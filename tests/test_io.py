@@ -278,6 +278,25 @@ def test_jpegls_near_lossless_bound():
         assert err <= near, (near, err)
 
 
+def test_jpegls_lse_zero_means_default():
+    """LSE preset fields with value 0 select that field's DEFAULT
+    (T.87 C.2.4.1.1) — CharLS/GDCM emit e.g. MAXVAL set with thresholds
+    and RESET left 0; taking the zeros literally corrupts the decode."""
+    import struct as _s
+
+    from ife_tpu.io.jpegls import decode_jpegls, encode_jpegls
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 1 << 12, size=(11, 9)).astype(np.uint16)
+    enc = encode_jpegls(img, precision=12)
+    # insert an LSE: MAXVAL = 4095 explicit, T1/T2/T3/RESET = 0 (defaults)
+    lse = _s.pack(">HHB", 0xFFF8, 2 + 11, 1) + _s.pack(
+        ">HHHHH", 4095, 0, 0, 0, 0)
+    sof_end = 2 + 2 + 11  # SOI + SOF55 marker + (len-inclusive) segment
+    patched = enc[:sof_end] + lse + enc[sof_end:]
+    np.testing.assert_array_equal(decode_jpegls(patched), img)
+
+
 def test_jpegls_rejects_non_ls_streams():
     import struct as _s
 

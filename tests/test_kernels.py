@@ -521,6 +521,36 @@ def test_ys_multi_radius_larger_than_volume():
     _features8_channel_parity(_ys_multi(x, mask, (2.5,))[0], want, 1e-7)
 
 
+def test_ys_multi_unaligned_y():
+    """TPU pads Y up to the sublane multiple BEFORE the in-kernel y
+    smoothing; the clamp-folded band matrix must make the padded
+    columns exactly s(Y-1) so the stencil's last true column reads the
+    ZeroFluxNeumann value (review finding: building W for the padded
+    extent produced smoothing-at-virtual-position there). pad_to forces
+    the padding path under the interpreter."""
+    from ife_tpu.core.volume import sphere_mask
+    from ife_tpu.kernels.fused import fused_features8_ys_multi
+    from ife_tpu.ops.features import features8
+    from ife_tpu.ops.stencil import gaussian_smooth_axis
+
+    shape = (14, 13, 16)  # Y=13: pads to 16 under pad_to
+    x = synthetic_ct(shape, seed=11, dtype=jnp.float64).data
+    mask = sphere_mask(shape, 0.45).data
+    m = jnp.clip(mask, 0, 1)
+    mf = m.astype(x.dtype)
+    sig = 1.2
+
+    def sxz(v):
+        v = gaussian_smooth_axis(v, 0, sig, SPACING[0])
+        return gaussian_smooth_axis(v, 2, sig, SPACING[2])
+
+    got = np.asarray(fused_features8_ys_multi(
+        (sxz(x * mf),), (sxz(mf),), m, (sig,), SPACING, interpret=True,
+        stack=True, pad_to=(16, 16)))[0]
+    want = np.asarray(features8(x, mask, sig, SPACING))
+    _features8_channel_parity(np.moveaxis(got, 0, -1), want, 1e-7)
+
+
 def test_ys_multi_prime_extents():
     from ife_tpu.core.volume import sphere_mask
     from ife_tpu.ops.features import features8

@@ -140,3 +140,72 @@ def test_jll_native_speed_sanity():
     decode_jpeg_lossless(enc)
     t_py = time.perf_counter() - t0
     assert t_native * 5 < t_py, (t_native, t_py)
+
+
+def test_jls_native_matches_python_decoder():
+    """The C++ JPEG-LS (T.87) decoder must be byte-identical to the
+    Python reference: random, CT-like, run-mode-heavy, near-lossless,
+    and LSE zero-preset streams (skips if lib unbuilt)."""
+    import struct
+
+    import numpy as np
+    import pytest
+    from ife_tpu.native_lib import build, jls_decode_native
+    from ife_tpu.io.jpegls import decode_jpegls, encode_jpegls
+
+    if not build():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(23)
+    flat = np.zeros((20, 30), np.uint16)
+    flat[5:9, 10:20] = 700
+    flat[19, 29] = 4000
+    cases = [
+        (rng.integers(0, 1 << 12, size=(33, 17)).astype(np.uint16), 12, 0),
+        ((rng.normal(-600, 100, size=(64, 64)).astype(np.int16)
+          ).view(np.uint16), 16, 0),
+        (flat, 12, 0),
+        (np.full((11, 23), 513, np.uint16), 12, 0),  # pure run mode
+        (rng.integers(0, 4096, size=(25, 25)).astype(np.uint16), 12, 2),
+    ]
+    for img, prec, near in cases:
+        enc = encode_jpegls(img, precision=prec, near=near)
+        got = jls_decode_native(enc, *img.shape)
+        if got is None:
+            pytest.skip("jls symbol missing")
+        np.testing.assert_array_equal(got, decode_jpegls(enc))
+    # LSE with zero presets (defaults) must decode identically too
+    img = rng.integers(0, 1 << 12, size=(11, 9)).astype(np.uint16)
+    enc = encode_jpegls(img, precision=12)
+    lse = struct.pack(">HHB", 0xFFF8, 2 + 11, 1) + struct.pack(
+        ">HHHHH", 4095, 0, 0, 0, 0)
+    patched = enc[:15] + lse + enc[15:]
+    got = jls_decode_native(patched, 11, 9)
+    if got is not None:
+        np.testing.assert_array_equal(got, img)
+
+
+def test_jls_native_speed_sanity():
+    """Series conversion practicality: the native T.87 decoder must beat
+    the Python decoder by >5x on a CT-sized slice."""
+    import time
+
+    import numpy as np
+    import pytest
+    from ife_tpu.native_lib import build, jls_decode_native
+    from ife_tpu.io.jpegls import decode_jpegls, encode_jpegls
+
+    if not build():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(24)
+    img = (rng.normal(-600, 80, size=(512, 512)).astype(np.int16)
+           ).view(np.uint16)
+    enc = encode_jpegls(img, precision=16)
+    if jls_decode_native(enc, 512, 512) is None:
+        pytest.skip("jls symbol missing")
+    t0 = time.perf_counter()
+    jls_decode_native(enc, 512, 512)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    decode_jpegls(enc)
+    t_py = time.perf_counter() - t0
+    assert t_native * 5 < t_py, (t_native, t_py)
