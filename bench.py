@@ -416,7 +416,7 @@ def bench_all(out_path="BENCH_DETAIL.json", resume=False):
         return resume and any(k.startswith(f"config{n}_") for k in detail)
 
     from ife_tpu.ops.eigen import eigenvalue_features
-    from ife_tpu.ops.features import features8, _sweep_fits, _sweep_rx_ok
+    from ife_tpu.ops.features import features8, features8_dispatch_branch
     from ife_tpu.kernels.fused import (
         fused_features8, fused_features8_sweep, fused_hessian_eig_stream,
     )
@@ -457,9 +457,10 @@ def bench_all(out_path="BENCH_DETAIL.json", resume=False):
         # crashed the TPU worker via HBM exhaustion)
         if not on_tpu:
             return tuple(jnp.moveaxis(features8(v, m, s, spc), -1, 0))
-        # mirrors features8_auto's dispatch rule (rx crossover + VMEM fit)
+        # the SAME single-source branch helper features8_auto and the
+        # verify gate use
         k = (fused_features8_sweep
-             if _sweep_fits(s, spc, v.shape) and _sweep_rx_ok(s, spc)
+             if features8_dispatch_branch(s, spc, v.shape) == "sweep"
              else fused_features8)
         return k(v, m, s, spc, stack=False)
 
