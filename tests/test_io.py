@@ -297,6 +297,23 @@ def test_jpegls_lse_zero_means_default():
     np.testing.assert_array_equal(decode_jpegls(patched), img)
 
 
+def test_jpegls_fast_falls_back_without_native(monkeypatch):
+    """decode_jpegls_fast must produce the Python decoder's result both
+    through the native library and when it is unavailable."""
+    from ife_tpu.io import jpegls
+    from ife_tpu.io.jpegls import decode_jpegls_fast, encode_jpegls
+
+    rng = np.random.default_rng(18)
+    img = rng.integers(0, 1 << 12, size=(9, 7)).astype(np.uint16)
+    enc = encode_jpegls(img, precision=12)
+    np.testing.assert_array_equal(decode_jpegls_fast(enc, 9, 7), img)
+    import ife_tpu.native_lib as nl
+
+    monkeypatch.setattr(nl, "jls_decode_native", lambda *a: None)
+    np.testing.assert_array_equal(decode_jpegls_fast(enc, 9, 7), img)
+    del jpegls
+
+
 def test_jpegls_rejects_non_ls_streams():
     import struct as _s
 
