@@ -522,11 +522,18 @@ def decode_jpegls_fast(data: bytes, rows: int, cols: int) -> np.ndarray:
     """decode_jpegls through the native C++ decoder when built
     (native/libife_native.so, ~ms per CT slice vs ~0.5-2 s for the
     per-pixel Python path), falling back to the Python reference
-    implementation. rows/cols come from the DICOM tags and are checked
-    against the SOF55 header."""
+    implementation — including on native DECODE errors: the native
+    decoder's marker filter and frame-dimension check are slightly
+    stricter than the Python parser (e.g. it rejects a skippable 0xFFCC
+    segment, or a frame whose SOF55 dims differ from the DICOM tags,
+    which the Python path handles via the [:rows, :cols] crop), and a
+    stream the round-4 pure-Python path decoded must keep decoding."""
     from ife_tpu.native_lib import jls_decode_native
 
-    out = jls_decode_native(data, rows, cols)
+    try:
+        out = jls_decode_native(data, rows, cols)
+    except ValueError:
+        out = None
     if out is not None:
         return out
     return decode_jpegls(data)

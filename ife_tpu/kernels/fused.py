@@ -213,19 +213,24 @@ def _clamp_shift_y(s: jnp.ndarray, off: int) -> jnp.ndarray:
     raise ValueError(off)
 
 
-def _emit_features8(o_refs, inside, s0, sm, sp, yshift, hx, hy, hz):
+def _emit_features8(o_refs, inside, s0, sm, sp, yshift, hx, hy, hz,
+                    zshift=_clamp_shift_z):
     """The shared features8 tail: gradient magnitude, 6-channel Hessian
     (cascaded cross terms), eigen features, masking — written to the 8
     output refs. ONE copy for every streaming kernel (sweep, sweep
-    multi, xs stream, ys multi): the round-5 true-face clamp bug
+    multi, xs stream, ys multi): the round-5 true-face clamp bugs
     existed precisely because this chain was copy-pasted per kernel and
     the copies drifted. Callers provide the x-stencil rows (sm, s0, sp
-    — with their own phantom-clamp policy already applied) and the
-    y-shift function (plain edge clamp, or the dynamic true-face
-    variant for halo-extended shard blocks); z is always the full lane
-    extent with plain clamps. Semantics: reference
-    Hessian3DImageFilter.hxx:19-59 + ImageToEmphysemaFeaturesFilter
-    .hxx:14-55."""
+    — with their own phantom-clamp policy already applied), the y-shift
+    function (plain edge clamp, or the dynamic true-face variant for
+    halo-extended shard blocks), and a z-shift: kernels whose inputs
+    are smoothed IN-KERNEL from a z-edge-padded raw volume must pass
+    the true-face z variant (padded z planes hold
+    smoothing-at-virtual-position, not the clamp value — z is never
+    sharded, so the true face is static); kernels whose inputs are
+    padded AFTER smoothing keep the plain clamp (replicas are exact).
+    Semantics: reference Hessian3DImageFilter.hxx:19-59 +
+    ImageToEmphysemaFeaturesFilter.hxx:14-55."""
     dt = s0.dtype
     r2x = jnp.asarray(1.0 / (2.0 * hx), dt)
     r2y = jnp.asarray(1.0 / (2.0 * hy), dt)
@@ -238,14 +243,14 @@ def _emit_features8(o_refs, inside, s0, sm, sp, yshift, hx, hy, hz):
     s_yp = yshift(s0, 1)
     s_ym = yshift(s0, -1)
     dyy = (s_yp - 2 * s0 + s_ym) * ryy
-    s_zp = _clamp_shift_z(s0, 1)
-    s_zm = _clamp_shift_z(s0, -1)
+    s_zp = zshift(s0, 1)
+    s_zm = zshift(s0, -1)
     dzz = (s_zp - 2 * s0 + s_zm) * rzz
     dx = (sp - sm) * r2x
     dxy = (yshift(dx, 1) - yshift(dx, -1)) * r2y
-    dxz = (_clamp_shift_z(dx, 1) - _clamp_shift_z(dx, -1)) * r2z
+    dxz = (zshift(dx, 1) - zshift(dx, -1)) * r2z
     dy = (s_yp - s_ym) * r2y
-    dyz = (_clamp_shift_z(dy, 1) - _clamp_shift_z(dy, -1)) * r2z
+    dyz = (zshift(dy, 1) - zshift(dy, -1)) * r2z
     dz = (s_zp - s_zm) * r2z
     gm = jnp.sqrt(dx * dx + dy * dy + dz * dz)
 
@@ -269,6 +274,23 @@ def _true_face_yshift(y_lo, y_hi, col):
         return jnp.where(col <= y_lo, a, raw)
 
     return yshift
+
+
+def _true_face_zshift(z_hi):
+    """z shift whose phantom clamps at the STATIC true-face lane z_hi
+    (z is never sharded; lanes beyond z_hi are alignment padding whose
+    in-kernel-smoothed values are NOT the clamp — review-confirmed up
+    to ~117% derivative error on the last true z plane when
+    Z % 128 != 0 before this existed). z_hi = Z-1 (no padding) reduces
+    to the plain clamp."""
+    def zshift(a, off):
+        raw = _clamp_shift_z(a, off)
+        lane = jax.lax.broadcasted_iota(jnp.int32, a.shape, a.ndim - 1)
+        if off == 1:
+            return jnp.where(lane >= z_hi, a, raw)
+        return raw  # the low z face is lane 0: the plain clamp is exact
+
+    return zshift
 
 
 def _stream_kernel(x_ref, *refs, bx, hx, hy, hz, n_x, ext_halo=False):
@@ -698,7 +720,7 @@ def _features8_tap_kernel(n_hbm, c_hbm, o0, o1, o2, o3, o4, o5, o6,
 def _features8_sweep_kernel(clamp_ref, im_ref, mk_ref, o0, o1, o2, o3, o4,
                             o5, o6, o7, ring_n, ring_m, s_carry, *, R,
                             n_blocks, bx, L, rx, taps_x, taps_y, taps_z,
-                            hx, hy, hz):
+                            hx, hy, hz, z_true):
     """Line-sweep features8: bx rows of all 8 channels per grid step.
 
     Streaming structure (the tap kernel without windows): input rows live
@@ -817,7 +839,8 @@ def _features8_sweep_kernel(clamp_ref, im_ref, mk_ref, o0, o1, o2, o3, o4,
         [read(ring_m, k * bx + r) for r in range(bx)], axis=0)
     _emit_features8(
         (o0, o1, o2, o3, o4, o5, o6, o7), mrows != 0, s0, sm, sp,
-        _true_face_yshift(clamp_ref[2], clamp_ref[3], col), hx, hy, hz)
+        _true_face_yshift(clamp_ref[2], clamp_ref[3], col), hx, hy, hz,
+        zshift=_true_face_zshift(z_true - 1))
 
 
 def _features8_xs_stream_kernel(n_ref, d_ref, m_ref, o0, o1, o2, o3, o4,
@@ -1006,7 +1029,7 @@ def _features8_ys_multi_kernel(*refs, S, n_x, radii, hx, hy, hz):
 
 def _features8_sweep_multi_kernel(clamp_ref, im_ref, mk_ref, *refs, R,
                                   n_blocks, bx, L, rx_list, taps_lists,
-                                  hx, hy, hz):
+                                  hx, hy, hz, z_true):
     """S-scale line-sweep features8 sharing ONE pair of input rings: the
     raw image/mask rows are identical for every scale, so S scales read
     them once (the per-scale sweeps each paid their own full input read
@@ -1107,7 +1130,8 @@ def _features8_sweep_multi_kernel(clamp_ref, im_ref, mk_ref, *refs, R,
         col = jax.lax.broadcasted_iota(jnp.int32, s0.shape, 1)
         _emit_features8(
             o_refs[8 * sc : 8 * sc + 8], inside, s0, sm, sp,
-            _true_face_yshift(y_lo, y_hi, col), hx, hy, hz)
+            _true_face_yshift(y_lo, y_hi, col), hx, hy, hz,
+            zshift=_true_face_zshift(z_true - 1))
 
 
 def _nc_sweep_kernel(im_ref, mk_ref, o_ref, ring_n, ring_m, *, R,
@@ -1785,6 +1809,16 @@ def fused_features8(
 
         branch = features8_dispatch_branch(sigma, spacing, image.shape,
                                            truncate)
+    if branch == "sweep":
+        # _sweep_fits does NOT imply _nc_sweep_fits at rx=1 (the nc
+        # rings are 2 rows wider): re-check before taking the nc path
+        from ife_tpu.ops.features import _nc_sweep_fits
+
+        if not _nc_sweep_fits(sigma, spacing, image.shape, truncate):
+            branch = ("xs_stream"
+                      if _xs_stream_fits(sigma, spacing, image.shape,
+                                         truncate)
+                      else "einsum+post_stream")
     if branch in ("sweep", "nc_sweep+post_stream"):
         # small radii: smoothing as one line-sweep pass (3 volumes of
         # traffic) beats the 6-MXU-pass pipeline
@@ -2016,7 +2050,7 @@ def fused_features8_post_stream(
 
 @functools.partial(
     jax.jit, static_argnames=("sigmas", "spacing", "truncate", "block",
-                              "interpret", "stack")
+                              "interpret", "stack", "pad_to")
 )
 def fused_features8_sweep_multi(
     image: jax.Array,
@@ -2028,13 +2062,17 @@ def fused_features8_sweep_multi(
     interpret: bool = False,
     stack: bool = True,
     clamps: jax.Array | None = None,
+    pad_to=None,
 ):
     """S scales of the full line-sweep features8 in ONE Pallas launch,
     sharing the raw image/mask input rings (see
-    _features8_sweep_multi_kernel). Serves scale ladders whose LARGEST
-    radius fits the sweep ring budget — at 256^2 slices that covers the
-    product's two small scales (and more); the per-scale launch overhead
-    that dominates small volumes is paid once.
+    _features8_sweep_multi_kernel). A RECORDED NEGATIVE RESULT kept as
+    exactly-tested API, dispatched by nothing: the launch-amortization
+    theory it was built on measured FALSE (r5_probe23: 5.11 ms for the
+    shared dual-scale pass vs 4.92 for two separate launches at 256^3 —
+    launches cost ~0.1 ms and the per-scale VPU tap work, which sharing
+    cannot remove, dominates; closure in docs/design.md). It remains
+    the measurement vehicle for any future ladder-sharing idea.
 
     Returns a tuple of S 8-channel tuples (stack=False) or a stacked
     (S, 8, X, Y, Z) array.
@@ -2054,8 +2092,11 @@ def fused_features8_sweep_multi(
 
     X, Y, Zin = image.shape
     m = mask.astype(image.dtype)
-    Z = Zin if interpret else -(-Zin // 128) * 128
-    Yp = Y if interpret else -(-Y // 8) * 8
+    if pad_to is not None:
+        Yp, Z = pad_to  # test hook (see fused_features8_sweep)
+    else:
+        Z = Zin if interpret else -(-Zin // 128) * 128
+        Yp = Y if interpret else -(-Y // 8) * 8
     if (Yp, Z) != (Y, Zin):
         pads = ((0, 0), (0, Yp - Y), (0, Z - Zin))
         image = jnp.pad(image, pads, mode="edge")
@@ -2077,7 +2118,7 @@ def fused_features8_sweep_multi(
     kernel = functools.partial(
         _features8_sweep_multi_kernel, R=R, n_blocks=n_blocks, bx=bx, L=L,
         rx_list=tuple(rx_list), taps_lists=tuple(taps_lists),
-        hx=hx, hy=hy, hz=hz,
+        hx=hx, hy=hy, hz=hz, z_true=Zin,
     )
     in_spec = pl.BlockSpec(
         (bx, Yp, Z), lambda i: (jnp.minimum(i, n_blocks - 1), 0, 0),
@@ -2114,7 +2155,7 @@ def fused_features8_sweep_multi(
 
 @functools.partial(
     jax.jit, static_argnames=("sigma", "spacing", "truncate", "block",
-                              "interpret", "stack")
+                              "interpret", "stack", "pad_to")
 )
 def fused_features8_sweep(
     image: jax.Array,
@@ -2126,6 +2167,7 @@ def fused_features8_sweep(
     interpret: bool = False,
     stack: bool = True,
     clamps: jax.Array | None = None,
+    pad_to=None,
 ):
     """Line-sweep features8: the ENTIRE pipeline (separable FIR smoothing,
     normalized-convolution divide, gradient/Hessian/eigen, masking) as one
@@ -2153,8 +2195,13 @@ def fused_features8_sweep(
 
     X, Y, Zin = image.shape
     m = mask.astype(image.dtype)
-    Z = Zin if interpret else -(-Zin // 128) * 128
-    Yp = Y if interpret else -(-Y // 8) * 8
+    if pad_to is not None:
+        # test hook: force the TPU alignment-padding path (incl. the
+        # z true-face stencil clamp) under the interpreter
+        Yp, Z = pad_to
+    else:
+        Z = Zin if interpret else -(-Zin // 128) * 128
+        Yp = Y if interpret else -(-Y // 8) * 8
     if (Yp, Z) != (Y, Zin):
         pads = ((0, 0), (0, Yp - Y), (0, Z - Zin))
         image = jnp.pad(image, pads, mode="edge")
@@ -2181,6 +2228,7 @@ def fused_features8_sweep(
     kernel = functools.partial(
         _features8_sweep_kernel, R=R, n_blocks=n_blocks, bx=bx, L=L, rx=rx,
         taps_x=taps_x, taps_y=taps_y, taps_z=taps_z, hx=hx, hy=hy, hz=hz,
+        z_true=Zin,
     )
     in_spec = pl.BlockSpec(
         (bx, Yp, Z), lambda i: (jnp.minimum(i, n_blocks - 1), 0, 0),

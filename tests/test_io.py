@@ -311,6 +311,13 @@ def test_jpegls_fast_falls_back_without_native(monkeypatch):
 
     monkeypatch.setattr(nl, "jls_decode_native", lambda *a: None)
     np.testing.assert_array_equal(decode_jpegls_fast(enc, 9, 7), img)
+    monkeypatch.undo()
+    # a skippable segment the NATIVE decoder rejects (0xFFCC) must fall
+    # back to the Python parser, not hard-fail (second-review finding)
+    import struct as _s
+
+    odd = enc[:2] + _s.pack(">HH", 0xFFCC, 4) + b"\x00\x00" + enc[2:]
+    np.testing.assert_array_equal(decode_jpegls_fast(odd, 9, 7), img)
     del jpegls
 
 

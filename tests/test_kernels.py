@@ -597,6 +597,36 @@ def test_sweep_multi_matches_per_scale():
                                       1e-7)
 
 
+def test_sweep_unaligned_z():
+    """TPU pads Z up to the lane multiple BEFORE the sweep kernels'
+    in-kernel smoothing; the stencil's last true z plane must clamp to
+    the smoothed field (s(Z) := s(Z-1)), not consume the padded plane's
+    smoothing-at-virtual-position (second-review finding: up to ~117%
+    derivative error there). pad_to forces the padding path under the
+    interpreter; covers the single- and multi-scale sweeps."""
+    import jax.numpy as jnp
+
+    from ife_tpu.core.volume import sphere_mask
+    from ife_tpu.kernels.fused import (
+        fused_features8_sweep, fused_features8_sweep_multi,
+    )
+    from ife_tpu.ops.features import features8
+
+    shape = (14, 16, 13)  # Z=13: pads to 16 under pad_to
+    x = synthetic_ct(shape, seed=12, dtype=jnp.float64).data
+    mask = sphere_mask(shape, 0.45).data
+    want = np.asarray(features8(x, mask, 1.1, SPACING))
+    got = np.moveaxis(np.asarray(fused_features8_sweep(
+        x, mask, 1.1, SPACING, interpret=True, pad_to=(16, 16))), 0, -1)
+    _features8_channel_parity(got, want, 1e-7)
+    gm = np.asarray(fused_features8_sweep_multi(
+        x, mask, (0.8, 1.1), SPACING, interpret=True, stack=True,
+        pad_to=(16, 16)))
+    for si, s in enumerate((0.8, 1.1)):
+        w = np.asarray(features8(x, mask, s, SPACING))
+        _features8_channel_parity(np.moveaxis(gm[si], 0, -1), w, 1e-7)
+
+
 def test_sweep_halo_extended_clamps():
     """The sharded block-sweep composition: a halo-extended block (edge
     replication at true faces, as halo_exchange produces on a boundary
