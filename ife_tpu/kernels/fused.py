@@ -2280,7 +2280,12 @@ def fused_features8_tap(
     """SUPERSEDED by fused_features8_sweep (same full fusion, ring-buffer
     streaming instead of halo windows: 19.1 vs 31.1 ms at 512^3 sigma=1.0
     — docs/design.md ladder table). Kept for the record (measured and
-    on-chip-verified); dispatched by nothing.
+    on-chip-verified); dispatched by nothing. KNOWN LIMITATION shared
+    with its era: the z lane-alignment padding is smoothed in-kernel, so
+    for Z % 128 != 0 the stencil's last true z plane reads
+    smoothing-at-virtual-position instead of the clamp (the round-5
+    true-face bug class, fixed in the DISPATCHED kernels via
+    _true_face_zshift; deliberately not back-ported to shelf-ware).
 
     features8 in ONE Pallas pass: the whole separable FIR smoothing
     (all three axes), the normalized-convolution divide, and the
@@ -2400,7 +2405,8 @@ def fused_features8_xs(
 ):
     """SUPERSEDED by fused_features8_sweep (docs/design.md ladder table:
     44.3 ms vs the sweep's 19.1 at 512^3 sigma=1.0). Kept for the record;
-    dispatched by nothing.
+    dispatched by nothing. Shares the superseded-era z-padding
+    limitation noted on fused_features8_tap.
 
     features8 with smoothing split across its cheapest units: y and z
     Gaussian passes ride the XLA blocked-band MXU einsums (2 passes each

@@ -157,6 +157,27 @@ def test_masked_fine_histograms_multi_matches_single():
         np.testing.assert_array_equal(multi[c][1], c_s)
 
 
+def test_masked_fine_histogram_non64_bins_fallback():
+    """n_fine not a multiple of 64 cannot take the arithmetic/MXU path;
+    the compare-reduce linspace fallback must serve it with the same
+    conventions (total == masked count, grid covers the data)."""
+    from ife_tpu.parallel.stats import masked_fine_histogram
+
+    rng = np.random.default_rng(13)
+    mesh = make_mesh(4, ("x",), devices=jax.devices()[:4])
+    v = shard_volume(jnp.asarray(
+        rng.standard_normal((16, 16, 16)), jnp.float32), mesh)
+    m = shard_volume(jnp.asarray(
+        (rng.uniform(size=(16, 16, 16)) > 0.4).astype(np.uint8)), mesh)
+    bounds, counts = masked_fine_histogram(v, m, mesh, n_fine=100)
+    n_fg = int(np.asarray(m != 0).sum())
+    assert counts.size == 100 and counts.sum() == n_fg
+    vals = np.asarray(v)[np.asarray(m) != 0]
+    assert bounds[0] <= vals.min() and bounds[-1] >= vals.max()
+    # linspace fallback grid (not the power-of-two snap)
+    np.testing.assert_allclose(np.diff(bounds), np.diff(bounds)[0])
+
+
 def test_histogram_quantile_edges_approximates_exact():
     rng = np.random.default_rng(0)
     samples = rng.normal(size=200_000)
