@@ -265,6 +265,32 @@ def test_jpegls_run_mode_and_ct_like():
     np.testing.assert_array_equal(dec.view(np.int16), hu)
 
 
+def test_jpegls_low_precision_thresholds():
+    """Precisions 2-8 exercise the MAXVAL<128 default-threshold branch
+    (FACTOR = 256/(MAXVAL+1)) in both the Python and native decoders —
+    untested by the CT-focused cases; near-lossless included for the
+    threshold/NEAR clamp interplay."""
+    from ife_tpu.io.jpegls import decode_jpegls, encode_jpegls
+    from ife_tpu.native_lib import jls_decode_native
+
+    rng = np.random.default_rng(19)
+    for prec in (2, 3, 4, 6, 8):
+        img = rng.integers(0, 1 << prec, size=(19, 13)).astype(np.uint16)
+        enc = encode_jpegls(img, precision=prec)
+        np.testing.assert_array_equal(decode_jpegls(enc), img)
+        nat = jls_decode_native(enc, 19, 13)
+        if nat is not None:
+            np.testing.assert_array_equal(nat, img)
+    for prec, near in ((4, 1), (6, 2)):
+        img = rng.integers(0, 1 << prec, size=(15, 15)).astype(np.uint16)
+        enc = encode_jpegls(img, precision=prec, near=near)
+        d = decode_jpegls(enc)
+        assert np.abs(d.astype(int) - img.astype(int)).max() <= near
+        nat = jls_decode_native(enc, 15, 15)
+        if nat is not None:
+            np.testing.assert_array_equal(nat, d)
+
+
 def test_jpegls_near_lossless_bound():
     """NEAR > 0 (the ...4.81 DICOM syntax) bounds |decoded - original|
     by NEAR per sample (T.87 near-lossless guarantee)."""
