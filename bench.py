@@ -312,6 +312,18 @@ def verify_on_chip(shape=(128, 128, 128), spacing=(0.78, 0.78, 1.0)):
     # instead of silently narrowing its coverage
     assert len(set(branches.values())) >= 3, branches
 
+    # UNALIGNED shape (Y % 8 != 0, Z % 128 != 0): the true-face padding
+    # clamp family hid for two rounds precisely because every gate and
+    # bench shape was alignment-friendly (the sweep kernels smooth the
+    # alignment padding in-kernel; the stencil must still clamp at the
+    # TRUE faces — round-5 fixes). This entry keeps the padding path
+    # exercised on real hardware forever.
+    img_u = img[:, :124, :120]
+    msk_u = msk[:, :124, :120]
+    bru = features8_dispatch_branch(1.0, spacing, img_u.shape)
+    report[f"auto_unaligned_s1.0[{bru}]"] = float(
+        auto_errs(img_u, msk_u, sigma=1.0))
+
     # the one-launch multi-scale ys path (config 3 / in-kernel MXU
     # smoothing): both scales vs the XLA-composed op
     @jax.jit
